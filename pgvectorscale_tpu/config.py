@@ -1,0 +1,228 @@
+"""Index configuration and query parameters.
+
+TPU-native analog of the reference's two-tier config system:
+
+- ``IndexConfig`` mirrors the build-time reloptions that the reference freezes
+  into the versioned meta page (reference: pgvectorscale/src/access_method/
+  options.rs:10-87 and meta_page.rs:284-334).  Once an index is built the
+  config is immutable and is serialized with the index checkpoint.
+- ``QueryParams`` mirrors the session GUCs used at query time (reference:
+  guc.rs:3-113 — ``diskann.query_search_list_size``, ``diskann.query_rescore``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+
+
+class DistanceType(enum.IntEnum):
+    """Distance types; discriminants match the reference
+    (distance/mod.rs:10-50)."""
+
+    COSINE = 0
+    L2 = 1
+    INNER_PRODUCT = 2
+
+
+class StorageLayout(enum.IntEnum):
+    """Storage layouts; discriminants match the reference's StorageType enum
+    (storage.rs:144-169: Plain=0, SbqCompression=2)."""
+
+    PLAIN = 0
+    SBQ = 2
+
+    @classmethod
+    def from_string(cls, s: str) -> "StorageLayout":
+        m = {
+            "plain": cls.PLAIN,
+            "memory_optimized": cls.SBQ,
+            "io_optimized": cls.SBQ,
+            "sbq": cls.SBQ,
+        }
+        if s not in m:
+            raise ValueError(
+                f"unknown storage layout {s!r}; expected one of {sorted(m)}"
+            )
+        return m[s]
+
+
+# Limits and defaults — match reference values.
+MAX_DIMENSION = 16_000  # build.rs:192-196
+MAX_DIMENSION_NO_SBQ = 2_000  # build.rs:192-196
+DEFAULT_NUM_NEIGHBORS = 50  # meta_page.rs:284-334 (sentinel -1 -> 50)
+MIN_NUM_NEIGHBORS = 10  # options.rs (min 10, max 1000)
+MAX_NUM_NEIGHBORS = 1000
+DEFAULT_SEARCH_LIST_SIZE = 100  # options.rs (build-time L)
+DEFAULT_MAX_ALPHA = 1.2  # options.rs (1.0..5.0)
+GRAPH_SLACK_FACTOR = 1.3  # meta_page.rs:24,253-255
+DEFAULT_QUERY_SEARCH_LIST_SIZE = 100  # guc.rs:3
+DEFAULT_QUERY_RESCORE = 50  # guc.rs:4 (0 disables)
+SBQ_BITS_THRESHOLD_DIM = 900  # meta_page.rs: 2 bits if dims < 900 else 1
+
+# Checkpoint format version (analog of the meta-page version field,
+# meta_page.rs:22-23).
+CHECKPOINT_VERSION = 1
+CHECKPOINT_MAGIC = 0x2DD17A55  # arbitrary magic for our own format
+
+
+def default_bits_per_dimension(num_dimensions_to_index: int) -> int:
+    """Reference default: 2 bits/dim below 900 dims, 1 bit/dim above
+    (meta_page.rs:284-334, README.md:325-332)."""
+    return 2 if num_dimensions_to_index < SBQ_BITS_THRESHOLD_DIM else 1
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexConfig:
+    """Frozen build-time configuration (analog of reloptions + meta page).
+
+    Attributes mirror the reference's reloptions (options.rs:10-87):
+      - num_neighbors: graph degree R (reference default 50)
+      - search_list_size: build-time beam width L (reference default 100)
+      - max_alpha: RobustPrune alpha ceiling (reference default 1.2)
+      - num_dimensions: dimensionality of stored vectors
+      - num_dimensions_to_index: Matryoshka truncation; 0 == all dims
+        (options.rs `num_dimensions`)
+      - num_bits_per_dimension: SBQ bits; 0 sentinel -> dimension-dependent
+        default (meta_page.rs:284-334)
+      - storage_layout: SBQ (memory_optimized) or PLAIN
+      - max_labels_per_vector: width of the fixed per-node label list (the
+        reference stores variable-length smallint[] label sets; we use a
+        fixed-width padded list, 0 == unlabeled index)
+    """
+
+    num_dimensions: int
+    distance_type: DistanceType = DistanceType.COSINE
+    storage_layout: StorageLayout = StorageLayout.SBQ
+    num_neighbors: int = DEFAULT_NUM_NEIGHBORS
+    search_list_size: int = DEFAULT_SEARCH_LIST_SIZE
+    max_alpha: float = DEFAULT_MAX_ALPHA
+    num_dimensions_to_index: int = 0
+    num_bits_per_dimension: int = 0
+    max_labels_per_vector: int = 0
+
+    def __post_init__(self):
+        if self.num_dimensions <= 0:
+            raise ValueError("num_dimensions must be positive")
+        if self.num_dimensions > MAX_DIMENSION:
+            # build.rs:192-196
+            raise ValueError(
+                f"vector dimension {self.num_dimensions} exceeds maximum "
+                f"{MAX_DIMENSION}"
+            )
+        if not (MIN_NUM_NEIGHBORS <= self.num_neighbors <= MAX_NUM_NEIGHBORS):
+            raise ValueError(
+                f"num_neighbors must be in [{MIN_NUM_NEIGHBORS}, "
+                f"{MAX_NUM_NEIGHBORS}]"
+            )
+        if not (10 <= self.search_list_size <= 1000):
+            raise ValueError("search_list_size must be in [10, 1000]")
+        if not (1.0 <= self.max_alpha <= 5.0):
+            raise ValueError("max_alpha must be in [1.0, 5.0]")
+        if self.num_dimensions_to_index < 0:
+            raise ValueError("num_dimensions_to_index must be >= 0")
+        if self.num_dimensions_to_index > self.num_dimensions:
+            raise ValueError(
+                "num_dimensions_to_index cannot exceed num_dimensions"
+            )
+        if self.num_bits_per_dimension not in (0, 1, 2):
+            raise ValueError("num_bits_per_dimension must be 0 (auto), 1, or 2")
+        # Reference: inner product requires SBQ storage (build.rs:264-266).
+        if (
+            self.storage_layout == StorageLayout.PLAIN
+            and self.distance_type == DistanceType.INNER_PRODUCT
+        ):
+            raise ValueError(
+                "inner product distance is not supported with plain storage"
+            )
+        # Reference: labels require SBQ storage (build.rs:288-290).
+        if (
+            self.storage_layout == StorageLayout.PLAIN
+            and self.max_labels_per_vector > 0
+        ):
+            raise ValueError("labels are not supported with plain storage")
+        # Reference: plain storage caps dimension at 2000 (build.rs:192-196).
+        if (
+            self.storage_layout == StorageLayout.PLAIN
+            and self.num_dimensions > MAX_DIMENSION_NO_SBQ
+        ):
+            raise ValueError(
+                f"plain storage supports at most {MAX_DIMENSION_NO_SBQ} "
+                "dimensions"
+            )
+
+    # ------------------------------------------------------------------
+    # Derived values (resolution of 0-sentinels, analog of
+    # meta_page.rs:284-334).
+    # ------------------------------------------------------------------
+
+    @property
+    def dims_to_index(self) -> int:
+        """Number of dimensions actually indexed (Matryoshka truncation)."""
+        if self.num_dimensions_to_index == 0:
+            return self.num_dimensions
+        return self.num_dimensions_to_index
+
+    @property
+    def bits_per_dimension(self) -> int:
+        if self.num_bits_per_dimension == 0:
+            return default_bits_per_dimension(self.dims_to_index)
+        return self.num_bits_per_dimension
+
+    @property
+    def num_code_words(self) -> int:
+        """Number of 32-bit words per SBQ code (reference packs into u64,
+        quantize.rs:37-45; we use u32 — TPU-native int width)."""
+        num_bits = self.dims_to_index * self.bits_per_dimension
+        return (num_bits + 31) // 32
+
+    @property
+    def max_neighbors_during_build(self) -> int:
+        """Adjacency slack during build: R * GRAPH_SLACK_FACTOR
+        (meta_page.rs:253-255)."""
+        return int(math.ceil(self.num_neighbors * GRAPH_SLACK_FACTOR))
+
+    @property
+    def has_labels(self) -> bool:
+        return self.max_labels_per_vector > 0
+
+    @property
+    def uses_sbq(self) -> bool:
+        return self.storage_layout == StorageLayout.SBQ
+
+    # ------------------------------------------------------------------
+    # Serialization (for checkpoints)
+    # ------------------------------------------------------------------
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["distance_type"] = int(self.distance_type)
+        d["storage_layout"] = int(self.storage_layout)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IndexConfig":
+        d = dict(d)
+        d["distance_type"] = DistanceType(d["distance_type"])
+        d["storage_layout"] = StorageLayout(d["storage_layout"])
+        return cls(**d)
+
+
+@dataclasses.dataclass(frozen=True)
+class QueryParams:
+    """Per-query tuning knobs (analog of the reference GUCs, guc.rs:3-4).
+
+    - search_list_size: query-time beam width (diskann.query_search_list_size)
+    - rescore: size of the full-precision rescore buffer
+      (diskann.query_rescore); 0 disables rescoring
+    """
+
+    search_list_size: int = DEFAULT_QUERY_SEARCH_LIST_SIZE
+    rescore: int = DEFAULT_QUERY_RESCORE
+
+    def __post_init__(self):
+        if self.search_list_size < 1:
+            raise ValueError("search_list_size must be >= 1")
+        if self.rescore < 0:
+            raise ValueError("rescore must be >= 0")

@@ -1,0 +1,560 @@
+"""Wave-based Vamana graph construction.
+
+TPU-native replacement for the reference's per-tuple incremental build
+(reference: pgvectorscale/src/access_method/build.rs — heap-scan callbacks
+calling ``graph.insert`` per tuple, graph/mod.rs:637-717).
+
+The reference inserts one vector at a time: greedy-search the current
+graph, α-prune the visited set into a neighbor list, then update backlinks
+(each backlink may itself trigger a prune).  On TPU that per-row loop would
+leave the MXU idle, so the build is re-architected into *waves*:
+
+1. A wave of B new nodes batch-searches the current graph
+   (``beam_search``), yielding each node's visited candidate set — the
+   exact analog of ``greedy_search_for_build`` (graph/mod.rs:285-327).
+2. One batched ``robust_prune`` turns candidate sets into neighbor lists
+   (graph/mod.rs:392-488 semantics, vectorized).
+3. Backlinks are applied with a scatter: every edge (new -> nbr) appends
+   the reverse edge to ``nbr``'s adjacency row; rows that overflow the
+   build-time slack capacity R×1.3 (meta_page.rs:253-255) are re-pruned in
+   batches, exactly mirroring ``add_neighbors``'s prune-on-overflow
+   (graph/mod.rs:212-266).
+4. Wave sizes grow geometrically, so early nodes see a dense enough graph
+   for search to be meaningful (the same role as the reference's elected
+   worker seeding the first nodes in parallel builds, build.rs:644-676).
+
+``finalize`` trims every adjacency row that exceeds num_neighbors back to
+num_neighbors with one last prune pass — the analog of
+``finalize_index_build`` (build.rs:905-960).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import DistanceType, IndexConfig
+from ..store import INVALID_ID, GraphArrays
+from .prune import (
+    pairwise_distance_matrix_full,
+    pairwise_hamming_mxu,
+    robust_prune,
+    unpack_code_bits,
+)
+from .search import beam_search, get_start_ids
+
+# How many overflowing rows one re-prune batch handles; overflow loops until
+# drained (usually 0-2 rounds per wave).
+PRUNE_BATCH = 256
+# Cap on reverse edges considered per overflowing row per round (the analog
+# of the reference processing one backlink at a time — extra incoming edges
+# simply wait for the next round's append).
+INCOMING_CAP = 64
+
+
+def candidate_pair_distances(
+    arrays: GraphArrays,
+    cand_ids: jax.Array,  # i32[B, C]
+    *,
+    use_codes: bool,
+    code_bits: int,
+    distance_type: DistanceType,
+) -> jax.Array:
+    """Pairwise distances among each row's candidates, [B, C, C] f32.
+
+    For SBQ this is Hamming computed on the MXU via the popcount-dot
+    identity (prune uses the storage's node-to-node measure — Hamming for
+    SbqSpeedupStorage, sbq/mod.rs:161-190)."""
+    safe = jnp.maximum(cand_ids, 0)
+    if use_codes:
+        codes = arrays.codes[safe]  # [B, C, W]
+        bits = unpack_code_bits(codes, code_bits)
+        return pairwise_hamming_mxu(bits)
+    vecs = arrays.vectors[safe]
+    return pairwise_distance_matrix_full(vecs, distance_type)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_codes", "code_bits", "distance_type", "alphas",
+                     "num_neighbors", "labeled"),
+)
+def prune_candidate_sets(
+    arrays: GraphArrays,
+    node_ids: jax.Array,  # i32[B]
+    cand_ids: jax.Array,  # i32[B, C]
+    cand_dists: jax.Array,  # f32[B, C]
+    node_labels: jax.Array,  # i32[B, Lm]
+    *,
+    use_codes: bool,
+    code_bits: int,
+    distance_type: DistanceType,
+    alphas: tuple,
+    num_neighbors: int,
+    labeled: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched add_neighbors-style prune: candidates -> neighbor lists."""
+    pair = candidate_pair_distances(
+        arrays,
+        cand_ids,
+        use_codes=use_codes,
+        code_bits=code_bits,
+        distance_type=distance_type,
+    )
+    if labeled:
+        cand_labels = arrays.node_labels[jnp.maximum(cand_ids, 0)]
+    else:
+        b, c = cand_ids.shape
+        cand_labels = jnp.zeros((b, c, 0), dtype=jnp.int32)
+    return robust_prune(
+        node_ids,
+        cand_ids,
+        cand_dists,
+        pair,
+        cand_labels,
+        node_labels,
+        num_neighbors=num_neighbors,
+        alphas=alphas,
+        labeled=labeled,
+    )
+
+
+@jax.jit
+def append_backlinks(
+    adjacency: jax.Array,  # i32[cap, R_max]
+    edge_dst: jax.Array,  # i32[E] node receiving a reverse edge
+    edge_src: jax.Array,  # i32[E] new node (INVALID_ID = no edge)
+) -> tuple[jax.Array, jax.Array]:
+    """Append reverse edges into free adjacency slots.
+
+    Returns (adjacency, accepted bool[E]).  Edges whose destination row is
+    full are rejected and must be handled by a prune round (the analog of
+    add_neighbors pruning when the list exceeds max_neighbors,
+    graph/mod.rs:212-266).
+
+    Implementation: sort edges by dst, compute each edge's rank within its
+    dst run, write at position degree[dst] + rank when it fits.
+    """
+    cap, r_max = adjacency.shape
+    e = edge_dst.shape[0]
+
+    valid = (edge_src != INVALID_ID) & (edge_dst != INVALID_ID)
+    # Drop self loops defensively.
+    valid = valid & (edge_src != edge_dst)
+    dst = jnp.where(valid, edge_dst, jnp.int32(2**31 - 1))
+
+    order = jnp.argsort(dst)
+    s_dst = dst[order]
+    s_src = edge_src[order]
+    s_valid = valid[order]
+
+    # Rank within equal-dst run.
+    idx = jnp.arange(e, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), s_dst[1:] != s_dst[:-1]]
+    )
+    start_idx = jnp.where(is_start, idx, 0)
+    start_idx = lax.associative_scan(jnp.maximum, start_idx)
+    rank = idx - start_idx
+
+    # Dedup: reverse edge already present in dst's adjacency row.
+    safe_dst = jnp.clip(s_dst, 0, cap - 1)
+    rows = adjacency[safe_dst]  # [E, R_max]
+    already = jnp.any(rows == s_src[:, None], axis=1)
+    s_valid = s_valid & ~already
+
+    # Also dedup identical (dst, src) pairs within this batch: keep first.
+    same_pair = (s_dst[:, None] == s_dst[None, :]) & (
+        s_src[:, None] == s_src[None, :]
+    )
+    earlier = idx[:, None] > idx[None, :]
+    dup = jnp.any(same_pair & earlier & s_valid[None, :], axis=1)
+    s_valid = s_valid & ~dup
+
+    # Re-rank counting only valid edges.
+    grp = jnp.where(s_valid, 1, 0)
+    # prefix count of valid edges within the run
+    run_prefix = jnp.cumsum(grp) - grp
+    run_base = jnp.where(is_start, run_prefix, 0)
+    run_base = lax.associative_scan(jnp.maximum, run_base)
+    rank = run_prefix - run_base
+
+    degree = jnp.sum(rows != INVALID_ID, axis=1)
+    pos = degree + rank
+    fits = s_valid & (pos < r_max)
+
+    flat = adjacency.reshape(-1)
+    write_idx = jnp.where(
+        fits, safe_dst * r_max + jnp.clip(pos, 0, r_max - 1), 0
+    )
+    updates = jnp.where(fits, s_src, flat[write_idx])
+    flat = flat.at[write_idx].set(updates, mode="drop")
+    new_adj = flat.reshape(cap, r_max)
+
+    accepted = jnp.zeros((e,), jnp.bool_).at[order].set(fits | already | dup)
+    # `already`/`dup` count as handled (nothing left to do for them).
+    return new_adj, accepted
+
+
+def find_overflow_rows(adjacency: jax.Array, candidates: jax.Array) -> np.ndarray:
+    """Host helper: which of `candidates` rows are at capacity."""
+    rows = np.asarray(adjacency[jnp.maximum(candidates, 0)])
+    deg = (rows != INVALID_ID).sum(axis=1)
+    cand = np.asarray(candidates)
+    return cand[(deg >= adjacency.shape[1]) & (cand >= 0)]
+
+
+class BuildContext:
+    """Host-side orchestration state for a build (the analog of BuildState,
+    build.rs:59-90)."""
+
+    def __init__(self, config: IndexConfig):
+        self.config = config
+        self.alphas = _alpha_schedule(config.max_alpha)
+
+    @property
+    def r(self) -> int:
+        return self.config.num_neighbors
+
+    @property
+    def r_max(self) -> int:
+        return self.config.max_neighbors_during_build
+
+
+def _alpha_schedule(max_alpha: float):
+    from .prune import alpha_schedule
+
+    return alpha_schedule(max_alpha)
+
+
+def wave_schedule(n: int, initial: int = 64, max_wave: int = 4096) -> list:
+    """Geometric wave sizes: 1 seed node, then doubling waves.
+
+    The single seed node is the analog of the first inserted vector
+    becoming the default start node (graph/mod.rs:490-533)."""
+    waves = []
+    done = 0
+    size = initial
+    while done < n:
+        take = min(size, n - done)
+        waves.append((done, take))
+        done += take
+        if size < max_wave:
+            size = min(size * 2, max_wave)
+    return waves
+
+
+def insert_wave(
+    arrays: GraphArrays,
+    ctx: BuildContext,
+    node_ids_np: np.ndarray,  # ids of the wave's nodes (already stored)
+    *,
+    search_list_size: Optional[int] = None,
+) -> GraphArrays:
+    """Insert a wave of already-stored nodes into the graph.
+
+    Mirrors graph.insert semantics (graph/mod.rs:637-717): for labeled
+    vectors a filtered pass from label start nodes plus an unfiltered pass
+    from the default start node; candidates from both merge before the
+    prune.
+    """
+    config = ctx.config
+    b = len(node_ids_np)
+    node_ids = jnp.asarray(node_ids_np, dtype=jnp.int32)
+    l = search_list_size or config.search_list_size
+    max_iters = _build_max_iters(l)
+
+    node_labels = arrays.node_labels[node_ids]
+    labeled = config.has_labels
+
+    query_vecs = arrays.vectors[node_ids]
+    query_codes = arrays.codes[node_ids]
+    use_codes = config.uses_sbq
+
+    # --- unfiltered pass from the default start node ---
+    start_ids = jnp.broadcast_to(
+        arrays.default_start[None, None], (b, 1)
+    ).astype(jnp.int32)
+    res = beam_search(
+        arrays,
+        query_vecs,
+        query_codes,
+        jnp.zeros((b, 0), jnp.int32),
+        start_ids,
+        search_list_size=l,
+        max_iters=max_iters,
+        distance_type=config.distance_type,
+        use_codes=use_codes,
+        filtered=False,
+    )
+    cand_ids = res.hist_ids
+    cand_dists = res.hist_dists
+
+    if labeled:
+        # --- filtered pass from label start nodes (insert two-phase,
+        # graph/mod.rs:652-660) ---
+        label_starts = get_start_ids(arrays, node_labels, b)
+        res_f = beam_search(
+            arrays,
+            query_vecs,
+            query_codes,
+            node_labels,
+            label_starts,
+            search_list_size=l,
+            max_iters=max_iters,
+            distance_type=config.distance_type,
+            use_codes=use_codes,
+            filtered=True,
+        )
+        # Merge candidate sets (dedup happens inside robust_prune via
+        # sort; duplicate ids both carry the same distance, and prune
+        # selects each id at most... dedup explicitly to be safe).
+        cand_ids = jnp.concatenate([cand_ids, res_f.hist_ids], axis=1)
+        cand_dists = jnp.concatenate([cand_dists, res_f.hist_dists], axis=1)
+        cand_ids, cand_dists = _dedup_candidates(cand_ids, cand_dists)
+
+    # --- prune into neighbor lists ---
+    nbr_ids, nbr_dists = prune_candidate_sets(
+        arrays,
+        node_ids,
+        cand_ids,
+        cand_dists,
+        node_labels,
+        use_codes=use_codes,
+        code_bits=config.dims_to_index * config.bits_per_dimension,
+        distance_type=config.distance_type,
+        alphas=ctx.alphas,
+        num_neighbors=config.num_neighbors,
+        labeled=labeled,
+    )
+
+    # Write the wave nodes' adjacency rows.
+    pad = config.max_neighbors_during_build - nbr_ids.shape[1]
+    rows = jnp.pad(nbr_ids, ((0, 0), (0, pad)), constant_values=INVALID_ID)
+    adjacency = arrays.adjacency.at[node_ids].set(rows)
+    arrays = arrays._replace(adjacency=adjacency)
+
+    # --- backlinks: scatter reverse edges, re-prune overflows ---
+    edge_dst = nbr_ids.reshape(-1)
+    edge_src = jnp.repeat(node_ids, nbr_ids.shape[1])
+    arrays = _apply_backlinks(arrays, ctx, edge_dst, edge_src)
+    return arrays
+
+
+def _dedup_candidates(cand_ids, cand_dists):
+    """Keep the first occurrence of each id per row (mask later dups)."""
+    b, c = cand_ids.shape
+    eq = cand_ids[:, :, None] == cand_ids[:, None, :]
+    earlier = (
+        jnp.arange(c, dtype=jnp.int32)[None, :, None]
+        > jnp.arange(c, dtype=jnp.int32)[None, None, :]
+    )
+    valid = cand_ids != INVALID_ID
+    dup = jnp.any(eq & earlier & valid[:, None, :], axis=-1)
+    return (
+        jnp.where(dup, INVALID_ID, cand_ids),
+        jnp.where(dup, jnp.inf, cand_dists),
+    )
+
+
+def _build_max_iters(l: int) -> int:
+    """Visit budget: the reference visits until the top-L beam is all
+    visited, which empirically takes ~1.0-1.3x L visits; pad generously."""
+    return int(math.ceil(1.5 * l)) + 16
+
+
+def _apply_backlinks(
+    arrays: GraphArrays,
+    ctx: BuildContext,
+    edge_dst: jax.Array,
+    edge_src: jax.Array,
+) -> GraphArrays:
+    """Append reverse edges; batch-re-prune rows that overflow.
+
+    Semantics follow update_back_pointer -> add_neighbors
+    (graph/mod.rs:720-737, 212-266): when a row exceeds the build slack
+    capacity it is pruned back to num_neighbors using the full candidate
+    set (existing neighbors + incoming edges).
+    """
+    config = ctx.config
+    max_rounds = 8
+    for _ in range(max_rounds):
+        new_adj, accepted = append_backlinks(
+            arrays.adjacency, edge_dst, edge_src
+        )
+        arrays = arrays._replace(adjacency=new_adj)
+        accepted_np = np.asarray(accepted)
+        if accepted_np.all():
+            return arrays
+
+        # Rejected edges point at full rows: prune those rows (with their
+        # pending incoming edges as candidates), then retry the remainder.
+        dst_np = np.asarray(edge_dst)
+        src_np = np.asarray(edge_src)
+        pending = ~accepted_np & (dst_np >= 0) & (src_np >= 0)
+        full_rows = np.unique(dst_np[pending])
+
+        arrays = _prune_rows_with_incoming(
+            arrays, ctx, full_rows, dst_np[pending], src_np[pending]
+        )
+
+        edge_dst = jnp.asarray(dst_np[pending])
+        edge_src = jnp.asarray(src_np[pending])
+        if edge_dst.shape[0] == 0:
+            return arrays
+    return arrays
+
+
+def _prune_rows_with_incoming(
+    arrays: GraphArrays,
+    ctx: BuildContext,
+    rows_np: np.ndarray,
+    pend_dst: np.ndarray,
+    pend_src: np.ndarray,
+) -> GraphArrays:
+    """Re-prune full adjacency rows, including up to INCOMING_CAP of each
+    row's pending incoming edges in the candidate set."""
+    config = ctx.config
+    r_max = config.max_neighbors_during_build
+
+    # Build incoming lists per row on host (small: only overflowing rows).
+    incoming: dict[int, list[int]] = {int(r): [] for r in rows_np}
+    for d, s in zip(pend_dst, pend_src):
+        lst = incoming.get(int(d))
+        if lst is not None and len(lst) < INCOMING_CAP:
+            lst.append(int(s))
+
+    rows_list = [int(r) for r in rows_np]
+    for i in range(0, len(rows_list), PRUNE_BATCH):
+        batch = rows_list[i : i + PRUNE_BATCH]
+        bsz = len(batch)
+        batch_ids = np.asarray(batch, dtype=np.int32)
+
+        inc = np.full((bsz, INCOMING_CAP), INVALID_ID, dtype=np.int32)
+        for j, r in enumerate(batch):
+            lst = incoming[r]
+            inc[j, : len(lst)] = lst
+
+        arrays = _prune_rows_batch(arrays, ctx, batch_ids, inc)
+    return arrays
+
+
+def _prune_rows_batch(
+    arrays: GraphArrays,
+    ctx: BuildContext,
+    row_ids_np: np.ndarray,
+    incoming_np: np.ndarray,
+) -> GraphArrays:
+    config = ctx.config
+    row_ids = jnp.asarray(row_ids_np)
+    incoming = jnp.asarray(incoming_np)
+    arrays = _prune_rows_batch_jit(
+        arrays,
+        row_ids,
+        incoming,
+        use_codes=config.uses_sbq,
+        code_bits=config.dims_to_index * config.bits_per_dimension,
+        distance_type=config.distance_type,
+        alphas=ctx.alphas,
+        num_neighbors=config.num_neighbors,
+        labeled=config.has_labels,
+        r_max=config.max_neighbors_during_build,
+    )
+    return arrays
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_codes", "code_bits", "distance_type", "alphas",
+                     "num_neighbors", "labeled", "r_max"),
+)
+def _prune_rows_batch_jit(
+    arrays: GraphArrays,
+    row_ids: jax.Array,  # i32[B]
+    incoming: jax.Array,  # i32[B, INCOMING_CAP]
+    *,
+    use_codes: bool,
+    code_bits: int,
+    distance_type: DistanceType,
+    alphas: tuple,
+    num_neighbors: int,
+    labeled: bool,
+    r_max: int,
+) -> GraphArrays:
+    """Prune rows to num_neighbors with candidates = existing ∪ incoming."""
+    existing = arrays.adjacency[row_ids]  # [B, r_max]
+    cand_ids = jnp.concatenate([existing, incoming], axis=1)
+
+    # Distances from each row's node to its candidates.
+    if use_codes:
+        from ..ops.hamming import hamming_gather
+
+        qc = arrays.codes[row_ids]
+        cand_d = hamming_gather(qc, arrays.codes, cand_ids).astype(jnp.float32)
+    else:
+        qv = arrays.vectors[row_ids]
+        gathered = arrays.vectors[jnp.maximum(cand_ids, 0)]
+        if distance_type == DistanceType.L2:
+            diff = gathered - qv[:, None, :]
+            cand_d = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
+        else:
+            dots = jnp.einsum(
+                "brd,bd->br",
+                gathered,
+                qv,
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+            cand_d = (
+                -dots
+                if distance_type == DistanceType.INNER_PRODUCT
+                else jnp.maximum(1.0 - dots, 0.0)
+            )
+    cand_d = jnp.where(cand_ids == INVALID_ID, jnp.inf, cand_d)
+
+    cand_ids, cand_d = _dedup_candidates(cand_ids, cand_d)
+
+    node_labels = (
+        arrays.node_labels[row_ids]
+        if labeled
+        else jnp.zeros((row_ids.shape[0], 0), jnp.int32)
+    )
+    nbr_ids, _ = prune_candidate_sets(
+        arrays,
+        row_ids,
+        cand_ids,
+        cand_d,
+        node_labels,
+        use_codes=use_codes,
+        code_bits=code_bits,
+        distance_type=distance_type,
+        alphas=alphas,
+        num_neighbors=num_neighbors,
+        labeled=labeled,
+    )
+    pad = r_max - nbr_ids.shape[1]
+    rows = jnp.pad(nbr_ids, ((0, 0), (0, pad)), constant_values=INVALID_ID)
+    adjacency = arrays.adjacency.at[row_ids].set(rows)
+    return arrays._replace(adjacency=adjacency)
+
+
+def finalize(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
+    """Final prune pass: trim every row with more than num_neighbors
+    neighbors down to num_neighbors (finalize_index_build,
+    build.rs:905-960)."""
+    config = ctx.config
+    adj_np = np.asarray(arrays.adjacency)
+    n = int(arrays.count)
+    deg = (adj_np[:n] != INVALID_ID).sum(axis=1)
+    over = np.nonzero(deg > config.num_neighbors)[0].astype(np.int32)
+    for i in range(0, len(over), PRUNE_BATCH):
+        batch = over[i : i + PRUNE_BATCH]
+        inc = np.full((len(batch), 1), INVALID_ID, dtype=np.int32)
+        arrays = _prune_rows_batch(arrays, ctx, batch, inc)
+    return arrays

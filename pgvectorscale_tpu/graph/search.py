@@ -1,0 +1,347 @@
+"""Batched greedy graph search (the Vamana beam search).
+
+TPU-native reformulation of the reference's streaming greedy search
+(reference: pgvectorscale/src/access_method/graph/mod.rs —
+``greedy_search_streaming_init`` :331-354, ``greedy_search_iterate``
+:357-385, ``ListSearchResult::visit_closest`` :153-170).
+
+The reference walks one node at a time with a candidate min-heap and a
+sorted visited list.  Here the search is *batched over Q queries at once*
+inside one ``lax.while_loop`` with fixed shapes (the CAGRA-style
+formulation, PAPERS.md):
+
+- Per query, the beam is a fixed-size top-L array of (distance, id,
+  visited-flag) — the merged equivalent of the reference's
+  candidates-heap + visited-list.  The termination rule "heap head >=
+  visited[pos_limit-1]" (graph/mod.rs:158-166) is equivalent to "every
+  beam entry is visited", because the beam holds the L best entries seen.
+- Each step visits the best unvisited beam entry, gathers its adjacency
+  row, computes candidate distances in one batch (Hamming on packed codes
+  for SBQ — sbq/mod.rs:139-159 — or an MXU dot for plain storage), masks
+  duplicates and label-filtered candidates (sbq/storage.rs:165-172), and
+  merges into the beam with one stable multi-operand sort.
+- The visited history (``hist``) doubles as the reference's ``inserted``
+  dedup set (graph/mod.rs:77) and as the build-time visited-node
+  candidate set returned by ``greedy_search_for_build``
+  (graph/mod.rs:285-327).
+- Tombstoned (deleted) nodes are traversed but never returned, matching
+  vacuum semantics (scan.rs:231).
+
+Queries converge at different step counts; converged queries are frozen by
+masks until the whole batch finishes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import DistanceType
+from ..labels import overlaps
+from ..ops.hamming import hamming_gather
+from ..store import INVALID_ID, GraphArrays, lookup_label_starts
+
+INF = jnp.inf
+
+
+class SearchResult(NamedTuple):
+    beam_ids: jax.Array  # i32[Q, L] sorted by distance
+    beam_dists: jax.Array  # f32[Q, L]
+    beam_visited: jax.Array  # bool[Q, L]
+    hist_ids: jax.Array  # i32[Q, H] visit order
+    hist_dists: jax.Array  # f32[Q, H]
+    n_visited: jax.Array  # i32[Q]
+    n_dist_comps: jax.Array  # i32[Q] (stats: StatsDistanceComparison analog)
+    iters: jax.Array  # i32 scalar
+
+
+def _candidate_distances(
+    arrays: GraphArrays,
+    query_vecs: jax.Array,
+    query_codes: jax.Array,
+    ids: jax.Array,
+    *,
+    use_codes: bool,
+    distance_type: DistanceType,
+) -> jax.Array:
+    """Distances from each query to its candidate ids: [Q, R] f32."""
+    if use_codes:
+        return hamming_gather(query_codes, arrays.codes, ids).astype(
+            jnp.float32
+        )
+    safe = jnp.maximum(ids, 0)
+    gathered = arrays.vectors[safe]  # [Q, R, D]
+    if distance_type == DistanceType.L2:
+        diff = gathered - query_vecs[:, None, :]
+        return jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
+    dots = jnp.einsum(
+        "qrd,qd->qr",
+        gathered,
+        query_vecs,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    if distance_type == DistanceType.INNER_PRODUCT:
+        return -dots
+    return jnp.maximum(1.0 - dots, 0.0)
+
+
+def get_start_ids(
+    arrays: GraphArrays,
+    query_labels: Optional[jax.Array],
+    num_queries: int,
+) -> jax.Array:
+    """Start nodes for each query: default start, plus per-label starts when
+    the query carries labels (StartNodes::get_for_node,
+    graph/start_nodes.rs)."""
+    default = jnp.broadcast_to(
+        arrays.default_start[None, None], (num_queries, 1)
+    ).astype(jnp.int32)
+    if query_labels is None or query_labels.shape[-1] == 0:
+        return default
+    label_starts = lookup_label_starts(arrays, query_labels)  # [Q, Lq]
+    return jnp.concatenate([default, label_starts], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "search_list_size",
+        "max_iters",
+        "distance_type",
+        "use_codes",
+        "filtered",
+    ),
+)
+def beam_search(
+    arrays: GraphArrays,
+    query_vecs: jax.Array,  # f32[Q, D]
+    query_codes: jax.Array,  # u32[Q, W] (W may be 0 when unused)
+    query_labels: jax.Array,  # i32[Q, Lq] (Lq may be 0)
+    start_ids: jax.Array,  # i32[Q, S]
+    *,
+    search_list_size: int,
+    max_iters: int,
+    distance_type: DistanceType,
+    use_codes: bool,
+    filtered: bool,
+) -> SearchResult:
+    q, s = start_ids.shape
+    l = search_list_size
+    r_max = arrays.max_degree
+    h = max_iters
+
+    dist_fn = functools.partial(
+        _candidate_distances,
+        arrays,
+        query_vecs,
+        query_codes,
+        use_codes=use_codes,
+        distance_type=distance_type,
+    )
+
+    # ---- init: insert start nodes (deduplicated) into the beam ----
+    start_valid = start_ids >= 0
+    # Dedup identical start ids within a row (keep first occurrence).
+    eq = start_ids[:, :, None] == start_ids[:, None, :]
+    earlier = (
+        jnp.arange(s, dtype=jnp.int32)[None, :, None]
+        > jnp.arange(s, dtype=jnp.int32)[None, None, :]
+    )
+    dup = jnp.any(eq & earlier & start_valid[:, None, :], axis=-1)
+    start_valid = start_valid & ~dup
+
+    start_dists = jnp.where(start_valid, dist_fn(start_ids), INF)
+    n_comps0 = jnp.sum(start_valid, axis=1, dtype=jnp.int32)
+
+    pad = l - s if l > s else 0
+    init_ids = jnp.concatenate(
+        [
+            jnp.where(start_valid, start_ids, INVALID_ID),
+            jnp.full((q, pad), INVALID_ID, dtype=jnp.int32),
+        ],
+        axis=1,
+    )[:, :l]
+    init_dists = jnp.concatenate(
+        [start_dists, jnp.full((q, pad), INF, dtype=jnp.float32)], axis=1
+    )[:, :l]
+    order = jnp.argsort(init_dists, axis=1)
+    beam_ids = jnp.take_along_axis(init_ids, order, axis=1)
+    beam_dists = jnp.take_along_axis(init_dists, order, axis=1)
+    beam_visited = jnp.zeros((q, l), dtype=jnp.bool_)
+
+    hist_ids = jnp.full((q, h), INVALID_ID, dtype=jnp.int32)
+    hist_dists = jnp.full((q, h), INF, dtype=jnp.float32)
+    n_visited = jnp.zeros((q,), dtype=jnp.int32)
+
+    state = (
+        beam_ids,
+        beam_dists,
+        beam_visited,
+        hist_ids,
+        hist_dists,
+        n_visited,
+        n_comps0,
+        jnp.zeros((), dtype=jnp.int32),
+    )
+
+    def cond(state):
+        beam_ids, beam_dists, beam_visited, *_, it = state
+        has_unvisited = jnp.any(
+            (beam_ids != INVALID_ID) & ~beam_visited, axis=1
+        )
+        return jnp.any(has_unvisited) & (it < max_iters)
+
+    def body(state):
+        (
+            beam_ids,
+            beam_dists,
+            beam_visited,
+            hist_ids,
+            hist_dists,
+            n_visited,
+            n_comps,
+            it,
+        ) = state
+
+        # --- select the best unvisited beam entry per query
+        # (ListSearchResult::visit_closest, graph/mod.rs:153-170) ---
+        unvisited_d = jnp.where(
+            (beam_ids != INVALID_ID) & ~beam_visited, beam_dists, INF
+        )
+        best_idx = jnp.argmin(unvisited_d, axis=1)  # [Q]
+        active = jnp.take_along_axis(
+            unvisited_d, best_idx[:, None], axis=1
+        )[:, 0] < INF
+        sel_id = jnp.where(
+            active,
+            jnp.take_along_axis(beam_ids, best_idx[:, None], axis=1)[:, 0],
+            INVALID_ID,
+        )
+        sel_dist = jnp.take_along_axis(beam_dists, best_idx[:, None], axis=1)[
+            :, 0
+        ]
+
+        # Mark visited.
+        beam_visited = jnp.where(
+            jnp.arange(l)[None, :] == best_idx[:, None],
+            beam_visited | active[:, None],
+            beam_visited,
+        )
+
+        # Append to visit history.
+        hist_ids = jnp.where(
+            active[:, None]
+            & (jnp.arange(h)[None, :] == n_visited[:, None]),
+            sel_id[:, None],
+            hist_ids,
+        )
+        hist_dists = jnp.where(
+            active[:, None]
+            & (jnp.arange(h)[None, :] == n_visited[:, None]),
+            sel_dist[:, None],
+            hist_dists,
+        )
+        n_visited = n_visited + active.astype(jnp.int32)
+
+        # --- expand: gather adjacency row (storage.visit_lsn analog) ---
+        nbrs = arrays.adjacency[jnp.maximum(sel_id, 0)]  # [Q, R]
+        valid = (nbrs != INVALID_ID) & active[:, None]
+
+        # Label-overlap skip for filtered search
+        # (sbq/storage.rs:165-172).
+        if filtered and query_labels.shape[-1] > 0:
+            nbr_labels = arrays.node_labels[jnp.maximum(nbrs, 0)]
+            keep = overlaps(nbr_labels, query_labels[:, None, :])
+            valid = valid & keep
+
+        # Dedup against beam and visit history (the `inserted` set,
+        # graph/mod.rs:77).
+        in_beam = jnp.any(
+            nbrs[:, :, None] == beam_ids[:, None, :], axis=-1
+        )
+        in_hist = jnp.any(
+            nbrs[:, :, None] == hist_ids[:, None, :], axis=-1
+        )
+        valid = valid & ~in_beam & ~in_hist
+
+        # Dedup within the candidate row itself (keep first occurrence).
+        nbr_eq = nbrs[:, :, None] == nbrs[:, None, :]
+        nbr_earlier = (
+            jnp.arange(r_max)[None, :, None]
+            > jnp.arange(r_max)[None, None, :]
+        )
+        nbr_dup = jnp.any(nbr_eq & nbr_earlier & valid[:, None, :], axis=-1)
+        valid = valid & ~nbr_dup
+
+        cand_d = jnp.where(valid, dist_fn(nbrs), INF)
+        n_comps = n_comps + jnp.sum(valid, axis=1, dtype=jnp.int32)
+
+        # --- merge into beam: stable sort keeps ties in insertion order ---
+        all_ids = jnp.concatenate(
+            [beam_ids, jnp.where(valid, nbrs, INVALID_ID)], axis=1
+        )
+        all_dists = jnp.concatenate([beam_dists, cand_d], axis=1)
+        all_vis = jnp.concatenate(
+            [beam_visited, jnp.zeros((q, r_max), dtype=jnp.bool_)], axis=1
+        )
+        sorted_d, sorted_ids, sorted_vis = lax.sort(
+            (all_dists, all_ids, all_vis), dimension=1, num_keys=1
+        )
+        beam_dists = sorted_d[:, :l]
+        beam_ids = sorted_ids[:, :l]
+        beam_visited = sorted_vis[:, :l]
+
+        return (
+            beam_ids,
+            beam_dists,
+            beam_visited,
+            hist_ids,
+            hist_dists,
+            n_visited,
+            n_comps,
+            it + 1,
+        )
+
+    state = lax.while_loop(cond, body, state)
+    (
+        beam_ids,
+        beam_dists,
+        beam_visited,
+        hist_ids,
+        hist_dists,
+        n_visited,
+        n_comps,
+        it,
+    ) = state
+    return SearchResult(
+        beam_ids=beam_ids,
+        beam_dists=beam_dists,
+        beam_visited=beam_visited,
+        hist_ids=hist_ids,
+        hist_dists=hist_dists,
+        n_visited=n_visited,
+        n_dist_comps=n_comps,
+        iters=it,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def top_k_live(
+    result_ids: jax.Array,  # i32[Q, M] sorted by distance
+    result_dists: jax.Array,  # f32[Q, M]
+    deleted: jax.Array,  # bool[cap]
+    *,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Filter tombstoned nodes out of sorted results and take the top k
+    (scan.rs:231 — search traverses deleted nodes but never returns them)."""
+    live = (result_ids != INVALID_ID) & ~deleted[jnp.maximum(result_ids, 0)]
+    d = jnp.where(live, result_dists, INF)
+    ids = jnp.where(live, result_ids, INVALID_ID)
+    sorted_d, sorted_ids = lax.sort((d, ids), dimension=1, num_keys=1)
+    return sorted_ids[:, :k], sorted_d[:, :k]

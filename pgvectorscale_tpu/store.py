@@ -1,0 +1,190 @@
+"""Flat tensor graph store.
+
+TPU-native replacement for the reference's page/persistence layer
+(reference: pgvectorscale/src/util/ — WritablePage, Tape, ChainTape, rkyv
+node archives) and node layouts (sbq/node.rs, plain/node.rs).
+
+Instead of 8KB Postgres pages holding rkyv-serialized nodes, every index
+component is a flat, preallocated, structure-of-arrays HBM tensor:
+
+- ``vectors``    f32[cap, D]   — full-precision vectors (the analog of the
+                                 heap tuples the reference rescores against,
+                                 table_slot.rs:13-53)
+- ``codes``      u32[cap, W]   — packed SBQ codes (sbq/node.rs bq_vector)
+- ``adjacency``  i32[cap, R]   — neighbor ids, ``-1`` terminated/padded (the
+                                 analog of the fixed-size neighbor array with
+                                 InvalidBlockNumber terminator,
+                                 sbq/node.rs:380-395)
+- ``node_labels`` i32[cap, L]  — per-node label sets (labels/mod.rs)
+- ``deleted``    bool[cap]     — vacuum tombstones (the analog of marking the
+                                 heap pointer invalid, vacuum.rs:104-131)
+
+Node ids are dense int32 indices — the analog of ItemPointer
+(util/mod.rs:166-171); id distance ``|i - j|`` supplies the prune tiebreak.
+
+Start nodes (graph/start_nodes.rs:16-93) are small dense arrays: a scalar
+default start plus a (label -> node id) table.
+
+Capacity grows by host-side doubling (the analog of relation extension,
+page.rs:108-245); growth is amortized and re-jits at most O(log N) times.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import IndexConfig
+from .labels import LABEL_SENTINEL
+
+INVALID_ID = -1  # analog of InvalidBlockNumber termination
+
+
+class GraphArrays(NamedTuple):
+    """Device state of the index. A pytree of fixed-shape arrays."""
+
+    vectors: jax.Array  # f32[cap, D]
+    codes: jax.Array  # u32[cap, W]  (W == 0 for plain storage)
+    adjacency: jax.Array  # i32[cap, R_max]
+    node_labels: jax.Array  # i32[cap, Lmax]  (Lmax == 0 when unlabeled)
+    deleted: jax.Array  # bool[cap]
+    count: jax.Array  # i32 scalar — number of live slots
+    default_start: jax.Array  # i32 scalar, INVALID_ID when graph empty
+    label_start_keys: jax.Array  # i32[label_cap], LABEL_SENTINEL-padded
+    label_start_ids: jax.Array  # i32[label_cap]
+
+    @property
+    def capacity(self) -> int:
+        return self.adjacency.shape[0]
+
+    @property
+    def max_degree(self) -> int:
+        return self.adjacency.shape[1]
+
+
+DEFAULT_LABEL_TABLE_CAPACITY = 1024
+
+
+def empty_arrays(
+    config: IndexConfig,
+    capacity: int,
+    label_table_capacity: int = DEFAULT_LABEL_TABLE_CAPACITY,
+) -> GraphArrays:
+    d = config.num_dimensions
+    w = config.num_code_words if config.uses_sbq else 0
+    r = config.max_neighbors_during_build
+    lmax = config.max_labels_per_vector
+    return GraphArrays(
+        vectors=jnp.zeros((capacity, d), dtype=jnp.float32),
+        codes=jnp.zeros((capacity, w), dtype=jnp.uint32),
+        adjacency=jnp.full((capacity, r), INVALID_ID, dtype=jnp.int32),
+        node_labels=jnp.full((capacity, lmax), LABEL_SENTINEL, dtype=jnp.int32),
+        deleted=jnp.zeros((capacity,), dtype=jnp.bool_),
+        count=jnp.zeros((), dtype=jnp.int32),
+        default_start=jnp.asarray(INVALID_ID, dtype=jnp.int32),
+        label_start_keys=jnp.full(
+            (label_table_capacity,), LABEL_SENTINEL, dtype=jnp.int32
+        ),
+        label_start_ids=jnp.full(
+            (label_table_capacity,), INVALID_ID, dtype=jnp.int32
+        ),
+    )
+
+
+def grow(arrays: GraphArrays, new_capacity: int) -> GraphArrays:
+    """Host-side capacity doubling (analog of relation extension)."""
+    cap = arrays.capacity
+    if new_capacity <= cap:
+        return arrays
+    pad = new_capacity - cap
+
+    def pad_rows(x, fill):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    return arrays._replace(
+        vectors=pad_rows(arrays.vectors, 0.0),
+        codes=pad_rows(arrays.codes, 0),
+        adjacency=pad_rows(arrays.adjacency, INVALID_ID),
+        node_labels=pad_rows(arrays.node_labels, int(LABEL_SENTINEL)),
+        deleted=pad_rows(arrays.deleted, False),
+    )
+
+
+def lookup_label_starts(
+    arrays: GraphArrays, query_labels: jax.Array
+) -> jax.Array:
+    """Per-label start nodes for each query.
+
+    query_labels: i32[Q, Lq] -> i32[Q, Lq] node ids (INVALID_ID where the
+    label has no start node).  Analog of StartNodes::get_for_node
+    (graph/start_nodes.rs:16-93).
+    """
+    eq = query_labels[:, :, None] == arrays.label_start_keys[None, None, :]
+    # At most one key matches; max-reduce picks it out (INVALID_ID elsewhere).
+    ids = jnp.where(eq, arrays.label_start_ids[None, None, :], INVALID_ID)
+    return jnp.max(ids, axis=-1)
+
+
+def upsert_label_starts(
+    arrays: GraphArrays,
+    new_labels: jax.Array,  # i32[M] labels to ensure (LABEL_SENTINEL = skip)
+    new_ids: jax.Array,  # i32[M] node ids to use if label uncovered
+) -> GraphArrays:
+    """Register start nodes for labels not yet covered (first vector with an
+    uncovered label becomes that label's start node —
+    graph/mod.rs:490-533).
+
+    Processes entries in order with a sequential scan so that the *first*
+    vector carrying a new label wins, matching the reference.
+    """
+    keys, ids = arrays.label_start_keys, arrays.label_start_ids
+
+    def body(carry, x):
+        keys, ids = carry
+        label, node = x
+        exists = jnp.any(keys == label) | (label == LABEL_SENTINEL)
+        # First free slot.
+        free = keys == LABEL_SENTINEL
+        slot = jnp.argmax(free)
+        has_free = jnp.any(free)
+        do_insert = (~exists) & has_free
+        keys = jnp.where(
+            do_insert,
+            keys.at[slot].set(label),
+            keys,
+        )
+        ids = jnp.where(
+            do_insert,
+            ids.at[slot].set(node),
+            ids,
+        )
+        return (keys, ids), None
+
+    (keys, ids), _ = jax.lax.scan(body, (keys, ids), (new_labels, new_ids))
+    return arrays._replace(label_start_keys=keys, label_start_ids=ids)
+
+
+class HostArrays(NamedTuple):
+    """Host (numpy) copy of GraphArrays, for checkpointing."""
+
+    vectors: np.ndarray
+    codes: np.ndarray
+    adjacency: np.ndarray
+    node_labels: np.ndarray
+    deleted: np.ndarray
+    count: np.ndarray
+    default_start: np.ndarray
+    label_start_keys: np.ndarray
+    label_start_ids: np.ndarray
+
+
+def to_host(arrays: GraphArrays) -> HostArrays:
+    return HostArrays(*[np.asarray(x) for x in arrays])
+
+
+def from_host(host: HostArrays) -> GraphArrays:
+    return GraphArrays(*[jnp.asarray(x) for x in host])

@@ -1,0 +1,29 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's strategy of testing multi-process behavior on a
+single box (SURVEY.md §4): multi-chip sharding is validated on
+xla_force_host_platform_device_count=8 CPU devices.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The env var alone is not honored when a TPU plugin (axon) is present;
+# the config update is authoritative and must run before first backend use.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
