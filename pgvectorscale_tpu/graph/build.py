@@ -547,7 +547,7 @@ def _prune_rows_batch_jit(
 def finalize(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
     """Final prune pass: trim every row with more than num_neighbors
     neighbors down to num_neighbors (finalize_index_build,
-    build.rs:905-960)."""
+    build.rs:905-960), then repair any orphaned nodes."""
     config = ctx.config
     adj_np = np.asarray(arrays.adjacency)
     n = int(arrays.count)
@@ -557,4 +557,101 @@ def finalize(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
         batch = over[i : i + PRUNE_BATCH]
         inc = np.full((len(batch), 1), INVALID_ID, dtype=np.int32)
         arrays = _prune_rows_batch(arrays, ctx, batch, inc)
-    return arrays
+    return repair_orphans(arrays, ctx)
+
+
+def reachable_mask(adj: np.ndarray, start: int, n: int) -> np.ndarray:
+    """bool[n]: reachable from `start` by directed BFS over adjacency rows.
+
+    Vectorized frontier BFS (the analog of debug_count_reachable_nodes,
+    graph/debugging.rs:12-50, which the reference tests use to assert full
+    connectivity)."""
+    seen = np.zeros(n, dtype=bool)
+    if start < 0 or n == 0:
+        return seen
+    seen[start] = True
+    frontier = np.asarray([start])
+    while frontier.size:
+        nbrs = adj[frontier].reshape(-1)
+        nbrs = nbrs[nbrs >= 0]
+        new = np.unique(nbrs[~seen[nbrs]])
+        if new.size == 0:
+            break
+        seen[new] = True
+        frontier = new
+    return seen
+
+
+def repair_orphans(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
+    """Guarantee every node is reachable from the default start node.
+
+    Batched insertion can orphan a node when every row it linked to prunes
+    the backlink away (the reference's serial insert has the same failure
+    mode — it *warns* about orphans, graph/mod.rs:706-716; its tests then
+    assert full reachability).  We repair instead: each unreachable node u
+    gets a forced edge from a reachable node (preferring u's own nearest
+    forward neighbor, so the detour stays short), iterating until the BFS
+    covers the graph."""
+    n = int(arrays.count)
+    if n == 0:
+        return arrays
+    start = int(arrays.default_start)
+    if start < 0:
+        return arrays
+    adj = np.ascontiguousarray(np.asarray(arrays.adjacency[:n]), dtype=np.int32).copy()
+
+    # Native fast path (C++ host runtime) — required at 50M scale.
+    from .. import native
+
+    if native.available():
+        forced = native.repair_orphans_inplace(adj, start)
+        if forced == 0:
+            return arrays
+        return arrays._replace(
+            adjacency=arrays.adjacency.at[:n].set(jnp.asarray(adj))
+        )
+
+    changed = False
+
+    def _free_slot(node):
+        free = np.nonzero(adj[node] == INVALID_ID)[0]
+        return int(free[0]) if free.size else -1
+
+    for _ in range(64):
+        seen = reachable_mask(adj, start, n)
+        orphans = np.nonzero(~seen)[0]
+        if orphans.size == 0:
+            break
+        # Chain: a freshly repaired orphan hosts the next one (its row has
+        # free slots), so repairs never fight over one full row.
+        chain_prev = -1
+        for u in orphans:
+            host = -1
+            host_full = -1
+            for w in adj[u]:
+                w = int(w)
+                if w < 0 or not seen[w]:
+                    continue
+                if _free_slot(w) >= 0:
+                    host = w
+                    break
+                if host_full < 0:
+                    host_full = w
+            if host < 0 and chain_prev >= 0 and _free_slot(chain_prev) >= 0:
+                host = chain_prev
+            if host < 0:
+                host = host_full if host_full >= 0 else start
+            if host == u:
+                continue
+            slot = _free_slot(host)
+            if slot < 0:
+                slot = adj.shape[1] - 1  # overwrite the farthest edge
+            adj[host, slot] = u
+            seen[u] = True  # exact: host is reachable, so u now is too
+            chain_prev = int(u)
+            changed = True
+    if not changed:
+        return arrays
+    return arrays._replace(
+        adjacency=arrays.adjacency.at[:n].set(jnp.asarray(adj))
+    )

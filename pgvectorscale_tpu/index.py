@@ -1,0 +1,784 @@
+"""DiskannIndex — the public index API.
+
+The TPU-native analog of the reference's SQL surface + AM callbacks
+(reference: pgvectorscale/src/access_method/mod.rs, build.rs, scan.rs):
+
+- ``DiskannIndex.build``    <-> ``CREATE INDEX ... USING diskann`` (ambuild,
+                                build.rs:296-460)
+- ``DiskannIndex.add``      <-> ``INSERT`` (aminsert, build.rs:464-559)
+- ``DiskannIndex.search``   <-> ``SELECT ... ORDER BY emb <=> q LIMIT k``
+                                (amgettuple batch equivalent, scan.rs:370-405)
+- ``DiskannIndex.search_iter`` <-> the streaming scan path with the
+                                relaxed-order rescore buffer
+                                (TSVResponseIterator, scan.rs:210-305)
+- ``DiskannIndex.delete`` / ``compact`` <-> VACUUM tombstones + rebuild
+                                (vacuum.rs:24-157)
+- ``DiskannIndex.save`` / ``load`` <-> Postgres durability + the versioned
+                                meta page (meta_page.rs:399-419)
+
+Node ids are dense int32 row indices.  ``external_ids`` (int64, host-side)
+map rows to user keys — the analog of heap TIDs; search results return
+internal row ids, ``to_external`` converts.
+"""
+
+from __future__ import annotations
+
+import functools
+import heapq
+import json
+from typing import Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import store
+from .config import (
+    CHECKPOINT_MAGIC,
+    CHECKPOINT_VERSION,
+    DistanceType,
+    IndexConfig,
+    QueryParams,
+    StorageLayout,
+)
+from .distance import preprocess_cosine
+from .graph.build import BuildContext, finalize, insert_wave, wave_schedule
+from .graph.search import beam_search, get_start_ids
+from .labels import LABEL_SENTINEL, make_label_array, overlaps
+from .ops import sbq
+from .store import INVALID_ID, GraphArrays
+
+_INF = jnp.inf
+
+
+# ----------------------------------------------------------------------
+# jitted query-path helpers
+# ----------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "rescore_n", "distance_type", "use_exact", "filtered"),
+)
+def _finalize_results(
+    arrays: GraphArrays,
+    query_vecs: jax.Array,  # f32[Q, D]
+    query_labels: jax.Array,  # i32[Q, Lq]
+    beam_ids: jax.Array,  # i32[Q, L]
+    beam_dists: jax.Array,  # f32[Q, L]
+    *,
+    k: int,
+    rescore_n: int,
+    distance_type: DistanceType,
+    use_exact: bool,
+    filtered: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Tombstone filter + label filter + full-precision rescore + top-k.
+
+    Mirrors the scan path: deleted nodes are traversed but never returned
+    (scan.rs:231); SBQ results are re-sorted by exact distance over a
+    ``rescore``-sized buffer (next_with_resort, scan.rs:244-305).
+    """
+    live = (beam_ids != INVALID_ID) & ~arrays.deleted[jnp.maximum(beam_ids, 0)]
+    if filtered and query_labels.shape[-1] > 0:
+        node_l = arrays.node_labels[jnp.maximum(beam_ids, 0)]
+        live = live & overlaps(node_l, query_labels[:, None, :])
+    d = jnp.where(live, beam_dists, _INF)
+    ids = jnp.where(live, beam_ids, INVALID_ID)
+    d, ids = lax.sort((d, ids), dimension=1, num_keys=1)
+
+    if not use_exact:
+        return ids[:, :k], d[:, :k]
+
+    # The reference's streaming resort refills the buffer to resort_size
+    # before each pop, so pulling k results rescores ~resort_size + k
+    # candidates total (next_with_resort, scan.rs:244-305).
+    m = min(rescore_n + k, ids.shape[1])
+    top_ids = ids[:, :m]
+    top_d = d[:, :m]
+    vecs = arrays.vectors[jnp.maximum(top_ids, 0)]  # [Q, m, D]
+    if distance_type == DistanceType.L2:
+        diff = vecs - query_vecs[:, None, :]
+        exact = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
+    else:
+        dots = jnp.einsum(
+            "qmd,qd->qm",
+            vecs,
+            query_vecs,
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        if distance_type == DistanceType.INNER_PRODUCT:
+            exact = -dots
+        else:
+            exact = jnp.maximum(1.0 - dots, 0.0)
+    exact = jnp.where(top_ids == INVALID_ID, _INF, exact)
+    exact = jnp.where(top_d == _INF, _INF, exact)
+    sd, sids = lax.sort((exact, top_ids), dimension=1, num_keys=1)
+    return sids[:, :k], sd[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("distance_type",))
+def _exact_distances(
+    arrays: GraphArrays,
+    query_vec: jax.Array,  # f32[D]
+    ids: jax.Array,  # i32[M]
+    *,
+    distance_type: DistanceType,
+) -> jax.Array:
+    vecs = arrays.vectors[jnp.maximum(ids, 0)]
+    if distance_type == DistanceType.L2:
+        diff = vecs - query_vec[None, :]
+        return jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
+    dots = jnp.dot(
+        vecs,
+        query_vec,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    if distance_type == DistanceType.INNER_PRODUCT:
+        return -dots
+    return jnp.maximum(1.0 - dots, 0.0)
+
+
+class DiskannIndex:
+    """A StreamingDiskANN index resident in device HBM."""
+
+    def __init__(
+        self,
+        config: IndexConfig,
+        arrays: GraphArrays,
+        sbq_stats: sbq.SbqStats,
+        external_ids: np.ndarray,
+    ):
+        self.config = config
+        self.arrays = arrays
+        self.sbq_stats = sbq_stats
+        self.external_ids = external_ids  # i64[count] host-side
+        self._ctx = BuildContext(config)
+        # Stats plumbing (stats.rs analog): populated by build/search.
+        self.build_stats = None  # stats.WriteStats after build()
+        self.last_search_stats = None  # stats.GreedySearchStats
+
+    # ------------------------------------------------------------------
+    # Introspection
+    # ------------------------------------------------------------------
+
+    @property
+    def count(self) -> int:
+        """Total slots used (including tombstoned rows)."""
+        return int(self.arrays.count)
+
+    @property
+    def num_deleted(self) -> int:
+        n = self.count
+        return int(np.asarray(self.arrays.deleted[:n]).sum()) if n else 0
+
+    @property
+    def num_live(self) -> int:
+        return self.count - self.num_deleted
+
+    # ------------------------------------------------------------------
+    # Build (ambuild analog)
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        vectors: np.ndarray,
+        config: Optional[IndexConfig] = None,
+        *,
+        labels: Optional[Sequence[Optional[Iterable[int]]]] = None,
+        external_ids: Optional[np.ndarray] = None,
+        initial_wave: int = 64,
+        max_wave: int = 4096,
+    ) -> "DiskannIndex":
+        """Build an index over ``vectors`` [N, D] (N may be 0).
+
+        Follows the ambuild orchestration (build.rs:296-460): train the
+        quantizer over a full pass, then insert vectors in geometric waves
+        (the batched analog of the per-tuple heap-scan callbacks), then run
+        the final prune pass.
+        """
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2:
+            raise ValueError("vectors must be [N, D]")
+        n, d = vectors.shape
+        if config is None:
+            config = IndexConfig(num_dimensions=d)
+        if config.num_dimensions != d:
+            raise ValueError(
+                f"config.num_dimensions={config.num_dimensions} != data dim {d}"
+            )
+        if labels is not None and not config.has_labels:
+            raise ValueError(
+                "labels passed but config.max_labels_per_vector == 0"
+            )
+
+        dev_vectors = jnp.asarray(vectors)
+        if config.distance_type == DistanceType.COSINE:
+            # Cosine pre-normalization at ingest (pg_vector.rs:125-199).
+            dev_vectors = preprocess_cosine(dev_vectors)
+
+        # Quantizer training pass (maybe_train_quantizer, build.rs:574-614).
+        indexed = dev_vectors[:, : config.dims_to_index]
+        if config.uses_sbq and n > 0:
+            stats = sbq.train(indexed)
+        else:
+            stats = _empty_stats(config.dims_to_index)
+
+        capacity = max(_round_up(n, 1024), 1024)
+        arrays = store.empty_arrays(config, capacity)
+        if n > 0:
+            arrays = arrays._replace(
+                vectors=arrays.vectors.at[:n].set(dev_vectors),
+                count=jnp.asarray(n, dtype=jnp.int32),
+            )
+            if config.uses_sbq:
+                codes = sbq.encode(indexed, stats, config.bits_per_dimension)
+                arrays = arrays._replace(
+                    codes=arrays.codes.at[:n].set(codes)
+                )
+            if config.has_labels and labels is not None:
+                label_arr = make_label_array(
+                    list(labels), config.max_labels_per_vector
+                )
+                arrays = arrays._replace(
+                    node_labels=arrays.node_labels.at[:n].set(
+                        jnp.asarray(label_arr)
+                    )
+                )
+                arrays = _register_label_starts_host(arrays, label_arr, 0)
+
+        if external_ids is None:
+            external_ids = np.arange(n, dtype=np.int64)
+        else:
+            external_ids = np.asarray(external_ids, dtype=np.int64).copy()
+            if external_ids.shape != (n,):
+                raise ValueError("external_ids must be [N]")
+
+        from .stats import WriteStats
+
+        index = cls(config, arrays, stats, external_ids)
+        write_stats = WriteStats()
+        if n > 0:
+            index._insert_ids_into_graph(np.arange(n, dtype=np.int32),
+                                         initial_wave=initial_wave,
+                                         max_wave=max_wave)
+            index.arrays = finalize(index.arrays, index._ctx)
+        write_stats.num_nodes = n
+        index.build_stats = write_stats
+        return index
+
+    def _insert_ids_into_graph(
+        self,
+        ids: np.ndarray,
+        *,
+        initial_wave: int = 64,
+        max_wave: int = 4096,
+    ) -> None:
+        """Insert already-stored rows into the graph in geometric waves."""
+        arrays = self.arrays
+        pos = 0
+        if int(arrays.default_start) == INVALID_ID and len(ids) > 0:
+            # First vector becomes the default start node
+            # (update_start_nodes, graph/mod.rs:490-533).
+            arrays = arrays._replace(
+                default_start=jnp.asarray(int(ids[0]), dtype=jnp.int32)
+            )
+            pos = 1
+        remaining = ids[pos:]
+        for off, size in wave_schedule(
+            len(remaining), initial=initial_wave, max_wave=max_wave
+        ):
+            arrays = insert_wave(
+                arrays, self._ctx, remaining[off : off + size]
+            )
+        self.arrays = arrays
+
+    # ------------------------------------------------------------------
+    # Insert (aminsert analog)
+    # ------------------------------------------------------------------
+
+    def add(
+        self,
+        vectors: np.ndarray,
+        *,
+        labels: Optional[Sequence[Optional[Iterable[int]]]] = None,
+        external_ids: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Insert a batch of vectors; returns their internal node ids.
+
+        The analog of aminsert (build.rs:464-559).  The quantizer is NOT
+        retrained — inserts encode with the build-time statistics, exactly
+        like the reference (load_for_insert loads the stored quantizer;
+        an index built on an empty table stays untrained and uses the
+        sign-vs-zero fallback, quantize.rs:91-101).
+        """
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.config.num_dimensions:
+            raise ValueError("vectors must be [M, num_dimensions]")
+        m = vectors.shape[0]
+        if m == 0:
+            return np.zeros((0,), dtype=np.int32)
+        if labels is not None and not self.config.has_labels:
+            raise ValueError("labels passed to an unlabeled index")
+
+        n0 = self.count
+        needed = n0 + m
+        if needed > self.arrays.capacity:
+            self.arrays = store.grow(
+                self.arrays, max(_round_up(needed, 1024), 2 * self.arrays.capacity)
+            )
+
+        dev = jnp.asarray(vectors)
+        if self.config.distance_type == DistanceType.COSINE:
+            dev = preprocess_cosine(dev)
+        indexed = dev[:, : self.config.dims_to_index]
+
+        arrays = self.arrays
+        arrays = arrays._replace(
+            vectors=lax.dynamic_update_slice(
+                arrays.vectors, dev, (n0, 0)
+            ),
+            count=jnp.asarray(needed, dtype=jnp.int32),
+        )
+        if self.config.uses_sbq:
+            codes = sbq.encode(
+                indexed, self.sbq_stats, self.config.bits_per_dimension
+            )
+            arrays = arrays._replace(
+                codes=lax.dynamic_update_slice(arrays.codes, codes, (n0, 0))
+            )
+        if self.config.has_labels:
+            if labels is None:
+                labels = [None] * m
+            label_arr = make_label_array(
+                list(labels), self.config.max_labels_per_vector
+            )
+            arrays = arrays._replace(
+                node_labels=lax.dynamic_update_slice(
+                    arrays.node_labels, jnp.asarray(label_arr), (n0, 0)
+                )
+            )
+            arrays = _register_label_starts_host(arrays, label_arr, n0)
+
+        if external_ids is None:
+            base = (
+                int(self.external_ids.max()) + 1 if len(self.external_ids) else 0
+            )
+            external_ids = np.arange(base, base + m, dtype=np.int64)
+        else:
+            external_ids = np.asarray(external_ids, dtype=np.int64)
+            if external_ids.shape != (m,):
+                raise ValueError("external_ids must be [M]")
+        self.external_ids = np.concatenate([self.external_ids, external_ids])
+
+        self.arrays = arrays
+        new_ids = np.arange(n0, needed, dtype=np.int32)
+        self._insert_ids_into_graph(new_ids)
+        from .graph.build import repair_orphans
+
+        self.arrays = repair_orphans(self.arrays, self._ctx)
+        return new_ids
+
+    # ------------------------------------------------------------------
+    # Search (scan analog)
+    # ------------------------------------------------------------------
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        params: Optional[QueryParams] = None,
+        *,
+        query_labels: Optional[Sequence[Optional[Iterable[int]]]] = None,
+        max_label_width: Optional[int] = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched top-k search: queries [Q, D] -> (ids i32[Q, k],
+        dists f32[Q, k]).  Missing results are INVALID_ID / +inf.
+
+        Distances follow reference conventions: L2 without sqrt, IP negated,
+        cosine = max(0, 1 - dot) on normalized vectors.
+        """
+        params = params or QueryParams()
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        q = queries.shape[0]
+        config = self.config
+
+        qv = jnp.asarray(queries)
+        if config.distance_type == DistanceType.COSINE:
+            qv = preprocess_cosine(qv)
+        q_indexed = qv[:, : config.dims_to_index]
+
+        if config.uses_sbq:
+            # Quantize the query once (SbqSearchDistanceMeasure,
+            # sbq/mod.rs:139-159).
+            qc = sbq.encode(
+                q_indexed, self.sbq_stats, config.bits_per_dimension
+            )
+        else:
+            qc = jnp.zeros((q, 0), dtype=jnp.uint32)
+
+        filtered = query_labels is not None
+        if filtered:
+            width = max_label_width or config.max_labels_per_vector
+            ql = jnp.asarray(
+                make_label_array(list(query_labels), width)
+            )
+        else:
+            ql = jnp.zeros((q, 0), dtype=jnp.int32)
+
+        l = max(params.search_list_size, k)
+        start_ids = get_start_ids(self.arrays, ql if filtered else None, q)
+        res = beam_search(
+            self.arrays,
+            q_indexed,
+            qc,
+            ql,
+            start_ids,
+            search_list_size=l,
+            max_iters=_query_max_iters(l),
+            distance_type=config.distance_type,
+            use_codes=config.uses_sbq,
+            filtered=filtered,
+        )
+
+        from .stats import GreedySearchStats
+
+        self.last_search_stats = GreedySearchStats.from_search_result(res)
+
+        use_exact = self._needs_rescore(params)
+        ids, dists = _finalize_results(
+            self.arrays,
+            qv,
+            ql,
+            res.beam_ids,
+            res.beam_dists,
+            k=k,
+            rescore_n=params.rescore,
+            distance_type=config.distance_type,
+            use_exact=use_exact,
+            filtered=filtered,
+        )
+        return np.asarray(ids), np.asarray(dists)
+
+    def _needs_rescore(self, params: QueryParams) -> bool:
+        """SBQ always rescopes when enabled; plain storage only when the
+        index truncates dims (amgettuple, scan.rs:370-405)."""
+        if params.rescore == 0:
+            return False
+        if self.config.uses_sbq:
+            return True
+        return self.config.dims_to_index < self.config.num_dimensions
+
+    def search_iter(
+        self,
+        query: np.ndarray,
+        params: Optional[QueryParams] = None,
+        *,
+        query_labels: Optional[Iterable[int]] = None,
+    ) -> "SearchIterator":
+        """Streaming relaxed-order search over a single query (the
+        TSVResponseIterator analog).  Keeps expanding until the graph
+        frontier is exhausted, so the full table can be scanned through the
+        index even with a tiny search list (build.rs:1254-1269)."""
+        return SearchIterator(self, query, params or QueryParams(), query_labels)
+
+    def to_external(self, ids: np.ndarray) -> np.ndarray:
+        """Map internal node ids to external (user) ids; INVALID_ID -> -1."""
+        out = np.full(ids.shape, -1, dtype=np.int64)
+        mask = ids >= 0
+        out[mask] = self.external_ids[ids[mask]]
+        return out
+
+    # ------------------------------------------------------------------
+    # Delete / compact (vacuum analog)
+    # ------------------------------------------------------------------
+
+    def delete(self, ids: np.ndarray) -> None:
+        """Tombstone rows (ambulkdelete analog, vacuum.rs:104-131): edges
+        stay in place, searches traverse but never return them."""
+        ids = np.asarray(ids, dtype=np.int32)
+        if len(ids) == 0:
+            return
+        if (ids < 0).any() or (ids >= self.count).any():
+            raise ValueError("delete ids out of range")
+        self.arrays = self.arrays._replace(
+            deleted=self.arrays.deleted.at[jnp.asarray(ids)].set(True)
+        )
+
+    def delete_external(self, external_ids: np.ndarray) -> None:
+        ext = np.asarray(external_ids, dtype=np.int64)
+        mask = np.isin(self.external_ids, ext)
+        self.delete(np.nonzero(mask)[0].astype(np.int32))
+
+    def compact(self) -> "DiskannIndex":
+        """Rebuild without tombstoned rows (the analog of re-creating the
+        index after heavy vacuum churn).  Returns a NEW index; external ids
+        are preserved."""
+        n = self.count
+        deleted = np.asarray(self.arrays.deleted[:n])
+        live = np.nonzero(~deleted)[0]
+        vectors = np.asarray(self.arrays.vectors[:n])[live]
+        ext = self.external_ids[live]
+        labels_list = None
+        if self.config.has_labels:
+            node_labels = np.asarray(self.arrays.node_labels[:n])[live]
+            labels_list = [
+                [int(v) for v in row if v != LABEL_SENTINEL]
+                for row in node_labels
+            ]
+        return DiskannIndex.build(
+            vectors,
+            self.config,
+            labels=labels_list,
+            external_ids=ext,
+        )
+
+    # ------------------------------------------------------------------
+    # Persistence (meta page / checkpoint analog)
+    # ------------------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Versioned single-file checkpoint (the analog of the magic+version
+        meta page, meta_page.rs:22-23, plus all index pages)."""
+        host = store.to_host(self.arrays)
+        n = self.count
+        np.savez_compressed(
+            path,
+            magic=np.int64(CHECKPOINT_MAGIC),
+            version=np.int64(CHECKPOINT_VERSION),
+            config=np.frombuffer(
+                json.dumps(self.config.to_dict()).encode(), dtype=np.uint8
+            ),
+            vectors=host.vectors[:n],
+            codes=host.codes[:n],
+            adjacency=host.adjacency[:n],
+            node_labels=host.node_labels[:n],
+            deleted=host.deleted[:n],
+            default_start=host.default_start,
+            label_start_keys=host.label_start_keys,
+            label_start_ids=host.label_start_ids,
+            sbq_count=np.asarray(self.sbq_stats.count),
+            sbq_mean=np.asarray(self.sbq_stats.mean),
+            sbq_m2=np.asarray(self.sbq_stats.m2),
+            external_ids=self.external_ids,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "DiskannIndex":
+        with np.load(path) as z:
+            if int(z["magic"]) != CHECKPOINT_MAGIC:
+                raise ValueError("not a pgvectorscale_tpu checkpoint")
+            version = int(z["version"])
+            if version > CHECKPOINT_VERSION:
+                raise ValueError(
+                    f"checkpoint version {version} is newer than supported "
+                    f"{CHECKPOINT_VERSION}"
+                )
+            config = IndexConfig.from_dict(
+                json.loads(bytes(z["config"]).decode())
+            )
+            n = z["vectors"].shape[0]
+            capacity = max(_round_up(n, 1024), 1024)
+            arrays = store.empty_arrays(
+                config, capacity, label_table_capacity=len(z["label_start_keys"])
+            )
+            if n > 0:
+                arrays = arrays._replace(
+                    vectors=arrays.vectors.at[:n].set(z["vectors"]),
+                    codes=arrays.codes.at[:n].set(z["codes"]),
+                    adjacency=arrays.adjacency.at[:n].set(z["adjacency"]),
+                    node_labels=arrays.node_labels.at[:n].set(z["node_labels"]),
+                    deleted=arrays.deleted.at[:n].set(z["deleted"]),
+                )
+            arrays = arrays._replace(
+                count=jnp.asarray(n, dtype=jnp.int32),
+                default_start=jnp.asarray(z["default_start"], dtype=jnp.int32),
+                label_start_keys=jnp.asarray(z["label_start_keys"]),
+                label_start_ids=jnp.asarray(z["label_start_ids"]),
+            )
+            stats = sbq.SbqStats(
+                count=jnp.asarray(z["sbq_count"]),
+                mean=jnp.asarray(z["sbq_mean"]),
+                m2=jnp.asarray(z["sbq_m2"]),
+            )
+            return cls(config, arrays, stats, z["external_ids"].copy())
+
+
+class SearchIterator:
+    """Streaming relaxed-order result iterator (TSVResponseIterator analog,
+    scan.rs:210-305).
+
+    Semantics: approximate-order candidates from graph traversal feed a
+    min-heap of ``rescore`` exact distances; each ``next()`` refills the
+    buffer then pops the minimum — the exact sliding-rescore behavior of
+    the reference.  When the current traversal is exhausted but the caller
+    keeps pulling, the beam is re-run with a doubled search list (the
+    fixed-shape analog of the reference's unbounded candidate list) until
+    no new nodes are reachable.
+    """
+
+    def __init__(
+        self,
+        index: DiskannIndex,
+        query: np.ndarray,
+        params: QueryParams,
+        query_labels: Optional[Iterable[int]] = None,
+    ):
+        self.index = index
+        self.params = params
+        self.query = np.asarray(query, dtype=np.float32).reshape(1, -1)
+        self.query_labels = (
+            [list(query_labels)] if query_labels is not None else None
+        )
+        self._returned: set[int] = set()
+        self._exhausted = False
+        self._l = max(params.search_list_size, 2)
+        self._pending: list[tuple[int, float]] = []  # approx order
+        self._buffer: list[tuple[float, int]] = []  # exact-dist min-heap
+        self._use_exact = index._needs_rescore(params)
+        self._qv = None
+        self._refill_pending()
+
+    def _refill_pending(self) -> None:
+        """Run (or re-run, with doubled L) the beam search."""
+        index = self.index
+        n_live = index.num_live
+        while not self._pending and not self._exhausted:
+            k = self._l  # == beam width; keeps shapes static per L
+            ids, dists = index.search(
+                self.query,
+                k=k,
+                params=QueryParams(
+                    search_list_size=self._l,
+                    rescore=0,  # iterator does its own exact rescoring
+                ),
+                query_labels=self.query_labels,
+            )
+            fresh = [
+                (int(i), float(d))
+                for i, d in zip(ids[0], dists[0])
+                if i != INVALID_ID and int(i) not in self._returned
+            ]
+            self._pending = fresh
+            got_all = len(self._returned) + len(fresh) >= n_live
+            if not fresh:
+                if self._l >= 4 * max(n_live, 1):
+                    self._exhausted = True
+                self._l *= 2
+            elif not got_all:
+                self._l *= 2  # pre-grow so the next refill reaches deeper
+
+    def _exact(self, node_id: int, approx: float) -> float:
+        if not self._use_exact:
+            return approx
+        if self._qv is None:
+            qv = jnp.asarray(self.query)
+            if self.index.config.distance_type == DistanceType.COSINE:
+                qv = preprocess_cosine(qv)
+            self._qv = qv[0]
+        d = _exact_distances(
+            self.index.arrays,
+            self._qv,
+            jnp.asarray([node_id], dtype=jnp.int32),
+            distance_type=self.index.config.distance_type,
+        )
+        return float(d[0])
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> tuple[int, float]:
+        # Fill the rescore buffer (resort_size semantics, scan.rs:244-305).
+        target = max(self.params.rescore, 1)
+        while len(self._buffer) < target:
+            if not self._pending:
+                self._refill_pending()
+                if not self._pending:
+                    break
+            nid, approx = self._pending.pop(0)
+            if nid in self._returned:
+                continue
+            heapq.heappush(self._buffer, (self._exact(nid, approx), nid))
+        if not self._buffer:
+            raise StopIteration
+        d, nid = heapq.heappop(self._buffer)
+        self._returned.add(nid)
+        return nid, d
+
+    def next_batch(self, n: int) -> tuple[np.ndarray, np.ndarray]:
+        ids, dists = [], []
+        for _ in range(n):
+            try:
+                i, d = next(self)
+            except StopIteration:
+                break
+            ids.append(i)
+            dists.append(d)
+        return np.asarray(ids, dtype=np.int32), np.asarray(
+            dists, dtype=np.float32
+        )
+
+
+# ----------------------------------------------------------------------
+# helpers
+# ----------------------------------------------------------------------
+
+
+def _empty_stats(dims: int) -> sbq.SbqStats:
+    return sbq.SbqStats(
+        count=jnp.zeros((), dtype=jnp.int32),
+        mean=jnp.zeros((dims,), dtype=jnp.float32),
+        m2=jnp.zeros((dims,), dtype=jnp.float32),
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _query_max_iters(l: int) -> int:
+    import math
+
+    return int(math.ceil(1.5 * l)) + 16
+
+
+def _register_label_starts_host(
+    arrays: GraphArrays, label_arr: np.ndarray, base_id: int
+) -> GraphArrays:
+    """Host-side: first row carrying an uncovered label becomes that label's
+    start node (update_start_nodes, graph/mod.rs:490-533)."""
+    keys = np.asarray(arrays.label_start_keys).copy()
+    ids = np.asarray(arrays.label_start_ids).copy()
+    covered = set(int(k) for k in keys if k != LABEL_SENTINEL)
+    new_entries: list[tuple[int, int]] = []
+    for row in range(label_arr.shape[0]):
+        for v in label_arr[row]:
+            v = int(v)
+            if v == LABEL_SENTINEL or v in covered:
+                continue
+            covered.add(v)
+            new_entries.append((v, base_id + row))
+    if not new_entries:
+        return arrays
+    free = np.nonzero(keys == LABEL_SENTINEL)[0]
+    if len(free) < len(new_entries):
+        # Grow the label table (host-side doubling).
+        grow_by = max(len(new_entries) - len(free), len(keys))
+        keys = np.concatenate(
+            [keys, np.full(grow_by, LABEL_SENTINEL, dtype=np.int32)]
+        )
+        ids = np.concatenate(
+            [ids, np.full(grow_by, INVALID_ID, dtype=np.int32)]
+        )
+        free = np.nonzero(keys == LABEL_SENTINEL)[0]
+    for slot, (label, node) in zip(free, new_entries):
+        keys[slot] = label
+        ids[slot] = node
+    return arrays._replace(
+        label_start_keys=jnp.asarray(keys),
+        label_start_ids=jnp.asarray(ids),
+    )

@@ -1,0 +1,111 @@
+"""Benchmark dataset IO and generators.
+
+Readers for the standard ANN benchmark formats (fvecs/ivecs/bvecs — the
+formats SIFT-1M and GIST ship in) and seeded synthetic corpus generators
+matching the benchmark configs in BASELINE.md (SIFT-like, GloVe-like,
+Cohere-like).  The reference has no dataset loader of its own (benchmarks
+run through Postgres), so this subsystem is new surface for the TPU build.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def read_fvecs(path: str, max_rows: int | None = None) -> np.ndarray:
+    """Read an .fvecs file: [int32 dim, dim × float32] per row."""
+    raw = np.fromfile(path, dtype=np.int32, count=-1)
+    if raw.size == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    d = int(raw[0])
+    row_words = d + 1
+    n = raw.size // row_words
+    if max_rows is not None:
+        n = min(n, max_rows)
+    mat = raw[: n * row_words].reshape(n, row_words)
+    if not (mat[:, 0] == d).all():
+        raise ValueError(f"inconsistent dims in fvecs file {path}")
+    return mat[:, 1:].view(np.float32).copy()
+
+
+def read_ivecs(path: str, max_rows: int | None = None) -> np.ndarray:
+    """Read an .ivecs file (ground-truth neighbor ids)."""
+    raw = np.fromfile(path, dtype=np.int32, count=-1)
+    if raw.size == 0:
+        return np.zeros((0, 0), dtype=np.int32)
+    d = int(raw[0])
+    row_words = d + 1
+    n = raw.size // row_words
+    if max_rows is not None:
+        n = min(n, max_rows)
+    mat = raw[: n * row_words].reshape(n, row_words)
+    return mat[:, 1:].copy()
+
+
+def read_bvecs(path: str, max_rows: int | None = None) -> np.ndarray:
+    """Read a .bvecs file: [int32 dim, dim × uint8] per row."""
+    raw = np.fromfile(path, dtype=np.uint8, count=-1)
+    if raw.size == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    d = int(np.frombuffer(raw[:4].tobytes(), dtype=np.int32)[0])
+    row_bytes = 4 + d
+    n = raw.size // row_bytes
+    if max_rows is not None:
+        n = min(n, max_rows)
+    mat = raw[: n * row_bytes].reshape(n, row_bytes)
+    return mat[:, 4:].astype(np.float32)
+
+
+def write_fvecs(path: str, mat: np.ndarray) -> None:
+    mat = np.asarray(mat, dtype=np.float32)
+    n, d = mat.shape
+    out = np.empty((n, d + 1), dtype=np.int32)
+    out[:, 0] = d
+    out[:, 1:] = mat.view(np.int32)
+    out.tofile(path)
+
+
+def synthetic_corpus(
+    kind: str,
+    n: int,
+    num_queries: int,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded synthetic stand-ins for the BASELINE.md benchmark configs.
+
+    - ``sift``: 128d, non-negative, clustered (SIFT-like local descriptors)
+    - ``glove``: 100d low-rank, for angular/cosine
+    - ``cohere``: 768d low-rank (transformer-embedding-like)
+    - ``gauss``: iid gaussian (worst case for SBQ)
+    """
+    rng = np.random.default_rng(seed)
+    if kind == "sift":
+        d, n_centers = 128, 256
+        centers = rng.random((n_centers, d), dtype=np.float32) * 100
+        a = rng.integers(0, n_centers, n)
+        aq = rng.integers(0, n_centers, num_queries)
+        noise = 12.0
+        base = np.abs(
+            centers[a] + noise * rng.standard_normal((n, d)).astype(np.float32)
+        )
+        queries = np.abs(
+            centers[aq]
+            + noise * rng.standard_normal((num_queries, d)).astype(np.float32)
+        )
+        return base.astype(np.float32), queries.astype(np.float32)
+    if kind in ("glove", "cohere"):
+        d = 100 if kind == "glove" else 768
+        rank = max(d // 3, 32)
+        basis = rng.standard_normal((rank, d)).astype(np.float32)
+        base = rng.standard_normal((n, rank)).astype(np.float32) @ basis
+        queries = (
+            rng.standard_normal((num_queries, rank)).astype(np.float32) @ basis
+        )
+        return base, queries
+    if kind == "gauss":
+        d = 128
+        return (
+            rng.standard_normal((n, d)).astype(np.float32),
+            rng.standard_normal((num_queries, d)).astype(np.float32),
+        )
+    raise ValueError(f"unknown synthetic corpus kind {kind!r}")

@@ -36,7 +36,8 @@ class SbqStats(NamedTuple):
     """Trained quantizer statistics (analog of SbqMeans persistence,
     sbq/mod.rs:88-137)."""
 
-    count: jax.Array  # int64 scalar
+    count: jax.Array  # int32 scalar (reference uses u64; int32 covers the
+    # 2^31 max row count of the dense-id store)
     mean: jax.Array  # f32[D]
     m2: jax.Array  # f32[D]
 
@@ -59,7 +60,7 @@ def train(vectors: jax.Array) -> SbqStats:
     centered = vectors - mean[None, :]
     m2 = jnp.sum(centered * centered, axis=0)
     return SbqStats(
-        count=jnp.asarray(count, dtype=jnp.int64),
+        count=jnp.asarray(count, dtype=jnp.int32),
         mean=mean,
         m2=m2,
     )

@@ -20,6 +20,13 @@ import jax
 # the config update is authoritative and must run before first backend use.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the test suite compiles many (shape, static
+# arg) variants of the search/prune kernels; caching them across runs cuts
+# suite time dramatically.
+jax.config.update("jax_compilation_cache_dir", "/tmp/pgvs_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,401 @@
+"""End-to-end index tests.
+
+TPU equivalents of the reference's accuracy scaffolds
+(reference: pgvectorscale/src/access_method/build.rs:1179-1417
+``test_index_creation_and_accuracy_scaffold``; labels/filtering_tests.rs
+recall gate): build over seeded random vectors, compare against brute-force
+ground truth, require recall@10 >= 0.9, and verify full-table reachability
+through the streaming iterator with a tiny search list.
+"""
+
+import numpy as np
+import pytest
+
+from pgvectorscale_tpu import DiskannIndex, DistanceType, IndexConfig, QueryParams
+from pgvectorscale_tpu.config import StorageLayout
+from pgvectorscale_tpu.distance import preprocess_cosine
+from pgvectorscale_tpu.ops.bruteforce import brute_force_search
+
+import jax.numpy as jnp
+
+
+def _recall_at_k(index, vectors, queries, k, distance_type, params=None,
+                 **search_kw):
+    import jax.numpy as jnp
+
+    dev_vectors = jnp.asarray(vectors)
+    dev_queries = jnp.asarray(queries)
+    if distance_type == DistanceType.COSINE:
+        dev_vectors = preprocess_cosine(dev_vectors)
+        dev_queries = preprocess_cosine(dev_queries)
+    valid = jnp.ones((vectors.shape[0],), dtype=bool)
+    gt_ids, _ = brute_force_search(
+        dev_queries, dev_vectors, valid, k=k, distance_type=distance_type
+    )
+    gt_ids = np.asarray(gt_ids)
+    ids, _ = index.search(queries, k=k, params=params, **search_kw)
+    hits = 0
+    for row in range(queries.shape[0]):
+        hits += len(set(gt_ids[row]) & set(int(i) for i in ids[row] if i >= 0))
+    return hits / (queries.shape[0] * k)
+
+
+def _lowrank(rng, n, q, d, rank=32):
+    """Effective-rank-limited gaussian data — representative of real
+    embedding distributions (iid gaussian is the SBQ worst case; the
+    reference's own recall gate relies on uniform data + a single query).
+    Vectors and queries share the same subspace."""
+    basis = rng.standard_normal((rank, d)).astype(np.float32)
+    return (
+        rng.standard_normal((n, rank)).astype(np.float32) @ basis,
+        rng.standard_normal((q, rank)).astype(np.float32) @ basis,
+    )
+
+
+@pytest.mark.parametrize(
+    "distance_type", [DistanceType.COSINE, DistanceType.L2]
+)
+def test_recall_gate_sbq(rng, distance_type):
+    """recall@10 >= 0.9 at reference defaults (L=100, rescore=50) on
+    1K x 128 — the reference's own gate (filtering_tests.rs:1005-1019)."""
+    n, d, q, k = 1000, 128, 50, 10
+    vectors, queries = _lowrank(rng, n, q, d)
+    config = IndexConfig(num_dimensions=d, distance_type=distance_type)
+    index = DiskannIndex.build(vectors, config)
+    recall = _recall_at_k(index, vectors, queries, k, distance_type)
+    assert recall >= 0.9, f"recall@10 = {recall}"
+
+
+def _hamming_ceiling(vectors, queries, k, resc, bits, distance_type):
+    """Quantizer ceiling: brute-force Hamming candidates + exact rescore —
+    the best any SBQ search (ours or the reference's) can do at this
+    operating point."""
+    import jax.numpy as jnp
+    from pgvectorscale_tpu.ops import sbq as sbq_ops
+    from pgvectorscale_tpu.ops.hamming import hamming_distance_matrix
+    from pgvectorscale_tpu.distance import distance_matrix
+
+    Vd, Qd = jnp.asarray(vectors), jnp.asarray(queries)
+    gt = np.asarray(
+        jnp.argsort(distance_matrix(Qd, Vd, distance_type), axis=1)[:, :k]
+    )
+    stats = sbq_ops.train(Vd)
+    hd = np.asarray(
+        hamming_distance_matrix(
+            sbq_ops.encode(Qd, stats, bits), sbq_ops.encode(Vd, stats, bits)
+        )
+    )
+    q = len(queries)
+    hits = 0
+    dm = np.asarray(distance_matrix(Qd, Vd, distance_type))
+    for r in range(q):
+        cand = np.argsort(hd[r])[:resc]
+        sel = cand[np.argsort(dm[r][cand])][:k]
+        hits += len(set(sel) & set(gt[r]))
+    return hits / (q * k)
+
+
+def test_recall_gate_sbq_inner_product(rng):
+    """Inner product: SBQ codes are direction-only (Hamming carries no
+    magnitude), so varied norms cap recall — for the reference identically
+    (quantize.rs has no norm term; plain+IP is outright rejected,
+    build.rs:264-266).  Gate: graph must track the quantizer ceiling."""
+    n, d, q, k = 1000, 128, 50, 10
+    vectors, queries = _lowrank(rng, n, q, d)
+
+    def _scale(x):
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        jitter = 1.0 + 0.15 * rng.standard_normal((x.shape[0], 1))
+        return (x / norms * jitter).astype(np.float32)
+
+    vectors, queries = _scale(vectors), _scale(queries)
+    config = IndexConfig(
+        num_dimensions=d, distance_type=DistanceType.INNER_PRODUCT
+    )
+    index = DiskannIndex.build(vectors, config)
+    ceiling = _hamming_ceiling(
+        vectors, queries, k, 60, config.bits_per_dimension,
+        DistanceType.INNER_PRODUCT,
+    )
+    recall = _recall_at_k(
+        index, vectors, queries, k, DistanceType.INNER_PRODUCT
+    )
+    assert recall >= ceiling - 0.03, (
+        f"graph recall {recall} lags quantizer ceiling {ceiling}"
+    )
+
+
+def test_recall_gate_sbq_iid_gaussian(rng):
+    """iid gaussian is the SBQ worst case: at defaults the *quantizer
+    ceiling* (brute-force Hamming + rescore) is ~0.65.  Two gates:
+    the graph must track the ceiling (traversal parity with brute-force
+    Hamming), and a larger rescore must recover >= 0.9 absolute."""
+    import jax.numpy as jnp
+    from pgvectorscale_tpu.ops import sbq as sbq_ops
+    from pgvectorscale_tpu.ops.hamming import hamming_distance_matrix
+    from pgvectorscale_tpu.distance import distance_matrix
+
+    n, d, q, k = 1000, 128, 50, 10
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    config = IndexConfig(num_dimensions=d, distance_type=DistanceType.L2)
+    index = DiskannIndex.build(vectors, config)
+
+    # Quantizer ceiling at the same operating point (rescore+k candidates).
+    Vd, Qd = jnp.asarray(vectors), jnp.asarray(queries)
+    gt = np.asarray(
+        jnp.argsort(distance_matrix(Qd, Vd, DistanceType.L2), axis=1)[:, :k]
+    )
+    stats = sbq_ops.train(Vd)
+    hd = np.asarray(
+        hamming_distance_matrix(
+            sbq_ops.encode(Qd, stats, config.bits_per_dimension),
+            sbq_ops.encode(Vd, stats, config.bits_per_dimension),
+        )
+    )
+    resc = 50 + k
+    hits = 0
+    for r in range(q):
+        cand = np.argsort(hd[r])[:resc]
+        ex = ((vectors[cand] - queries[r]) ** 2).sum(axis=1)
+        hits += len(set(cand[np.argsort(ex)][:k]) & set(gt[r]))
+    ceiling = hits / (q * k)
+
+    recall = _recall_at_k(index, vectors, queries, k, DistanceType.L2)
+    assert recall >= ceiling - 0.03, (
+        f"graph recall {recall} lags quantizer ceiling {ceiling}"
+    )
+
+    # Larger rescore recovers high recall even on worst-case data.
+    recall_big = _recall_at_k(
+        index, vectors, queries, k, DistanceType.L2,
+        params=QueryParams(search_list_size=256, rescore=200),
+    )
+    assert recall_big >= 0.9, f"recall@10 (rescore=200) = {recall_big}"
+
+
+def test_recall_gate_plain(rng):
+    n, d, q, k = 1000, 64, 50, 10
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        storage_layout=StorageLayout.PLAIN,
+    )
+    index = DiskannIndex.build(vectors, config)
+    recall = _recall_at_k(index, vectors, queries, k, DistanceType.L2)
+    assert recall >= 0.9, f"recall@10 = {recall}"
+
+
+def test_full_reachability_via_iterator(rng):
+    """Every row must be reachable through the index even with a tiny search
+    list (the reference scans all rows with query_search_list_size=2,
+    build.rs:1254-1269)."""
+    n, d = 120, 16
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    index = DiskannIndex.build(
+        vectors, IndexConfig(num_dimensions=d, distance_type=DistanceType.L2)
+    )
+    it = index.search_iter(
+        vectors[0], QueryParams(search_list_size=2, rescore=2)
+    )
+    seen = set()
+    for nid, _ in it:
+        seen.add(nid)
+    assert seen == set(range(n))
+
+
+def test_streaming_order_is_relaxed_but_rescored(rng):
+    n, d = 500, 32
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    index = DiskannIndex.build(
+        vectors, IndexConfig(num_dimensions=d, distance_type=DistanceType.L2)
+    )
+    q = vectors[7] + 0.01 * rng.standard_normal(d).astype(np.float32)
+    it = index.search_iter(q, QueryParams(search_list_size=50, rescore=50))
+    ids, dists = it.next_batch(10)
+    assert ids[0] == 7
+    # Exact distances must be non-decreasing within the rescore window.
+    assert all(dists[i] <= dists[i + 1] + 1e-5 for i in range(len(dists) - 1))
+
+
+def test_insert_after_build(rng):
+    """Empty-table-then-insert semantics (build.rs:1559-1611): index built
+    over nothing accepts inserts and stays searchable."""
+    d = 64
+    config = IndexConfig(num_dimensions=d, distance_type=DistanceType.L2)
+    index = DiskannIndex.build(np.zeros((0, d), np.float32), config)
+    assert index.count == 0
+    ids, _ = index.search(np.zeros((1, d), np.float32), k=5)
+    assert (ids == -1).all()
+
+    vectors, queries = _lowrank(rng, 200, 20, d)
+    index.add(vectors[:100])
+    index.add(vectors[100:])
+    assert index.count == 200
+
+    recall = _recall_at_k(index, vectors, queries, 10, DistanceType.L2)
+    assert recall >= 0.9, f"recall@10 after inserts = {recall}"
+
+
+def test_delete_and_compact(rng):
+    n, d = 400, 32
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    index = DiskannIndex.build(
+        vectors, IndexConfig(num_dimensions=d, distance_type=DistanceType.L2)
+    )
+    dead = np.arange(0, n, 2, dtype=np.int32)
+    index.delete(dead)
+    assert index.num_deleted == len(dead)
+
+    # Tombstoned nodes are never returned (scan.rs:231).
+    ids, _ = index.search(vectors[2], k=20)
+    assert not (set(ids[0].tolist()) & set(dead.tolist()))
+    # Nearest live node to a deleted node's vector is still found.
+    live = np.setdiff1d(np.arange(n), dead)
+    assert set(ids[0][ids[0] >= 0].tolist()) <= set(live.tolist())
+
+    # Compaction preserves external ids.
+    compacted = index.compact()
+    assert compacted.count == n - len(dead)
+    ids2, _ = compacted.search(vectors[3], k=1)
+    assert compacted.to_external(ids2)[0, 0] == 3
+
+
+def test_save_load_roundtrip(tmp_path, rng):
+    n, d = 300, 48
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    config = IndexConfig(num_dimensions=d, distance_type=DistanceType.COSINE)
+    index = DiskannIndex.build(vectors, config)
+    index.delete(np.asarray([5, 6], dtype=np.int32))
+    path = str(tmp_path / "idx.npz")
+    index.save(path)
+    loaded = DiskannIndex.load(path)
+    assert loaded.config == index.config
+    assert loaded.count == index.count
+    assert loaded.num_deleted == 2
+
+    queries = rng.standard_normal((10, d)).astype(np.float32)
+    ids_a, d_a = index.search(queries, k=10)
+    ids_b, d_b = loaded.search(queries, k=10)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
+
+
+def test_labeled_filtered_search(rng):
+    """Filtered search: results must satisfy the label predicate and recall
+    vs the filtered brute-force ground truth must hold (the reference's
+    13-scenario filtering suite, labels/filtering_tests.rs)."""
+    n, d, k = 800, 64, 10
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    labels = [[int(i % 5)] for i in range(n)]  # 5 label classes
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.COSINE,
+        max_labels_per_vector=2,
+    )
+    index = DiskannIndex.build(vectors, config, labels=labels)
+
+    queries = rng.standard_normal((20, d)).astype(np.float32)
+    target = 3
+    ids, _ = index.search(
+        queries, k=k, query_labels=[[target]] * len(queries)
+    )
+    for row in ids:
+        for i in row:
+            if i >= 0:
+                assert i % 5 == target
+
+    # Filtered recall vs filtered ground truth.
+    dev_vectors = preprocess_cosine(jnp.asarray(vectors))
+    dev_queries = preprocess_cosine(jnp.asarray(queries))
+    valid = jnp.asarray(np.arange(n) % 5 == target)
+    gt_ids, _ = brute_force_search(
+        dev_queries, dev_vectors, valid, k=k,
+        distance_type=DistanceType.COSINE,
+    )
+    gt_ids = np.asarray(gt_ids)
+    hits = sum(
+        len(set(gt_ids[r]) & set(int(i) for i in ids[r] if i >= 0))
+        for r in range(len(queries))
+    )
+    recall = hits / (len(queries) * k)
+    assert recall >= 0.9, f"filtered recall@10 = {recall}"
+
+
+def test_unlabeled_query_on_labeled_index(rng):
+    n, d = 300, 64
+    vectors, queries = _lowrank(rng, n, 10, d)
+    labels = [[i % 3] for i in range(n)]
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        max_labels_per_vector=2,
+    )
+    index = DiskannIndex.build(vectors, config, labels=labels)
+    recall = _recall_at_k(index, vectors, queries, 10, DistanceType.L2)
+    assert recall >= 0.9
+
+
+def test_matryoshka_truncated_dims(rng):
+    """num_dimensions_to_index truncation (options.rs `num_dimensions`):
+    search uses the prefix, rescoring uses the full vector."""
+    n, d = 500, 64
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_dimensions_to_index=32,
+    )
+    index = DiskannIndex.build(vectors, config)
+    queries = rng.standard_normal((10, d)).astype(np.float32)
+    ids, dists = index.search(queries, k=10)
+    # Rescored distances must be exact full-dim distances.
+    row, col = 0, 0
+    nid = int(ids[row, col])
+    expected = float(((vectors[nid] - queries[row]) ** 2).sum())
+    np.testing.assert_allclose(dists[row, col], expected, rtol=1e-4)
+
+
+def test_no_rescore(rng):
+    """rescore=0 disables exact reordering (test_no_rescore analog,
+    build.rs:1419): SBQ distances come back as raw Hamming values."""
+    n, d = 300, 64
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    index = DiskannIndex.build(
+        vectors, IndexConfig(num_dimensions=d, distance_type=DistanceType.L2)
+    )
+    ids, dists = index.search(
+        vectors[0], k=5, params=QueryParams(rescore=0)
+    )
+    assert ids[0, 0] == 0
+    # Hamming distances are integers.
+    assert np.allclose(dists[ids >= 0], np.round(dists[ids >= 0]))
+
+
+def test_duplicate_vectors_stay_connected(rng):
+    """Duplicate-heavy data must not produce orphans — the tiebreak
+    semantics test (neighbor_with_distance.rs:45-95)."""
+    d = 16
+    base = rng.standard_normal((10, d)).astype(np.float32)
+    vectors = np.repeat(base, 12, axis=0)  # 120 rows, heavy duplicates
+    index = DiskannIndex.build(
+        vectors, IndexConfig(num_dimensions=d, distance_type=DistanceType.L2)
+    )
+    it = index.search_iter(vectors[0], QueryParams(search_list_size=10))
+    seen = {nid for nid, _ in it}
+    assert seen == set(range(120))
+
+
+def test_external_ids(rng):
+    n, d = 100, 16
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    ext = np.arange(1000, 1000 + n, dtype=np.int64)
+    index = DiskannIndex.build(
+        vectors,
+        IndexConfig(num_dimensions=d, distance_type=DistanceType.L2),
+        external_ids=ext,
+    )
+    ids, _ = index.search(vectors[7], k=1)
+    assert index.to_external(ids)[0, 0] == 1007
