@@ -216,13 +216,20 @@ class QueryParams:
     - search_list_size: query-time beam width (diskann.query_search_list_size)
     - rescore: size of the full-precision rescore buffer
       (diskann.query_rescore); 0 disables rescoring
+    - expand: multi-frontier width E (TPU-only knob, no reference analog):
+      each search step visits the E best unvisited beam entries instead of
+      one, cutting sequential loop length ~E× with no recall change.
+      E=1 reproduces the reference's strict best-first visit order.
     """
 
     search_list_size: int = DEFAULT_QUERY_SEARCH_LIST_SIZE
     rescore: int = DEFAULT_QUERY_RESCORE
+    expand: int = 4
 
     def __post_init__(self):
         if self.search_list_size < 1:
             raise ValueError("search_list_size must be >= 1")
         if self.rescore < 0:
             raise ValueError("rescore must be >= 0")
+        if not (1 <= self.expand <= 64):
+            raise ValueError("expand must be in [1, 64]")

@@ -52,6 +52,14 @@ from .search import beam_search, get_start_ids
 # How many overflowing rows one re-prune batch handles; overflow loops until
 # drained (usually 0-2 rounds per wave).
 PRUNE_BATCH = 256
+# Multi-frontier width for build-time searches (see beam_search
+# expand_factor): same candidate quality, ~4x fewer sequential steps.
+BUILD_EXPAND_FACTOR = 4
+# While the graph has at most this many nodes, candidate sets come from an
+# exact brute-force distance matrix instead of beam search: one MXU/VPU
+# batch is cheaper than a traversal at this size and gives ideal Vamana
+# candidates for the early waves (whose quality seeds the whole graph).
+BRUTE_CANDIDATE_THRESHOLD = 4096
 # Cap on reverse edges considered per overflowing row per round (the analog
 # of the reference processing one backlink at a time — extra incoming edges
 # simply wait for the next round's append).
@@ -256,6 +264,7 @@ def insert_wave(
     node_ids_np: np.ndarray,  # ids of the wave's nodes (already stored)
     *,
     search_list_size: Optional[int] = None,
+    n_existing: Optional[int] = None,
 ) -> GraphArrays:
     """Insert a wave of already-stored nodes into the graph.
 
@@ -263,6 +272,10 @@ def insert_wave(
     vectors a filtered pass from label start nodes plus an unfiltered pass
     from the default start node; candidates from both merge before the
     prune.
+
+    ``n_existing``: number of rows already in the graph (ids < n_existing
+    are searchable).  When the graph is small (<= BRUTE_CANDIDATE_THRESHOLD)
+    candidates come from an exact brute-force scan instead of beam search.
     """
     config = ctx.config
     b = len(node_ids_np)
@@ -277,47 +290,66 @@ def insert_wave(
     query_codes = arrays.codes[node_ids]
     use_codes = config.uses_sbq
 
-    # --- unfiltered pass from the default start node ---
-    start_ids = jnp.broadcast_to(
-        arrays.default_start[None, None], (b, 1)
-    ).astype(jnp.int32)
-    res = beam_search(
-        arrays,
-        query_vecs,
-        query_codes,
-        jnp.zeros((b, 0), jnp.int32),
-        start_ids,
-        search_list_size=l,
-        max_iters=max_iters,
-        distance_type=config.distance_type,
-        use_codes=use_codes,
-        filtered=False,
-    )
-    cand_ids = res.hist_ids
-    cand_dists = res.hist_dists
-
-    if labeled:
-        # --- filtered pass from label start nodes (insert two-phase,
-        # graph/mod.rs:652-660) ---
-        label_starts = get_start_ids(arrays, node_labels, b)
-        res_f = beam_search(
+    if n_existing is not None and n_existing <= BRUTE_CANDIDATE_THRESHOLD:
+        # --- exact candidates in one batch.  Unlike beam search, brute
+        # scoring needs no graph connectivity, so the wave's own rows are
+        # included as candidates: intra-wave edges form directly (serial
+        # Vamana gets these via insertion order; prefix-restricted waves
+        # would never create them).  num_candidates has +1 slack because
+        # each node scores itself (robust_prune drops self). ---
+        prefix = int(n_existing) + b
+        cand_ids, cand_dists = _brute_candidates(
+            arrays,
+            node_ids,
+            n_existing=prefix,
+            num_candidates=min(l + 1, prefix),
+            use_codes=use_codes,
+            distance_type=config.distance_type,
+        )
+    else:
+        # --- unfiltered pass from the default start node ---
+        start_ids = jnp.broadcast_to(
+            arrays.default_start[None, None], (b, 1)
+        ).astype(jnp.int32)
+        res = beam_search(
             arrays,
             query_vecs,
             query_codes,
-            node_labels,
-            label_starts,
+            jnp.zeros((b, 0), jnp.int32),
+            start_ids,
             search_list_size=l,
             max_iters=max_iters,
             distance_type=config.distance_type,
             use_codes=use_codes,
-            filtered=True,
+            filtered=False,
+            expand_factor=min(BUILD_EXPAND_FACTOR, l),
         )
-        # Merge candidate sets (dedup happens inside robust_prune via
-        # sort; duplicate ids both carry the same distance, and prune
-        # selects each id at most... dedup explicitly to be safe).
-        cand_ids = jnp.concatenate([cand_ids, res_f.hist_ids], axis=1)
-        cand_dists = jnp.concatenate([cand_dists, res_f.hist_dists], axis=1)
-        cand_ids, cand_dists = _dedup_candidates(cand_ids, cand_dists)
+        cand_ids = res.hist_ids
+        cand_dists = res.hist_dists
+
+        if labeled:
+            # --- filtered pass from label start nodes (insert two-phase,
+            # graph/mod.rs:652-660) ---
+            label_starts = get_start_ids(arrays, node_labels, b)
+            res_f = beam_search(
+                arrays,
+                query_vecs,
+                query_codes,
+                node_labels,
+                label_starts,
+                search_list_size=l,
+                max_iters=max_iters,
+                distance_type=config.distance_type,
+                use_codes=use_codes,
+                filtered=True,
+                expand_factor=min(BUILD_EXPAND_FACTOR, l),
+            )
+            # Merge candidate sets; dedup keeps the first occurrence.
+            cand_ids = jnp.concatenate([cand_ids, res_f.hist_ids], axis=1)
+            cand_dists = jnp.concatenate(
+                [cand_dists, res_f.hist_dists], axis=1
+            )
+            cand_ids, cand_dists = _dedup_candidates(cand_ids, cand_dists)
 
     # --- prune into neighbor lists ---
     nbr_ids, nbr_dists = prune_candidate_sets(
@@ -345,6 +377,51 @@ def insert_wave(
     edge_src = jnp.repeat(node_ids, nbr_ids.shape[1])
     arrays = _apply_backlinks(arrays, ctx, edge_dst, edge_src)
     return arrays
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_existing", "num_candidates", "use_codes", "distance_type",
+    ),
+)
+def _brute_candidates(
+    arrays: GraphArrays,
+    node_ids: jax.Array,  # i32[B]
+    *,
+    n_existing: int,
+    num_candidates: int,
+    use_codes: bool,
+    distance_type: DistanceType,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-C candidates over the first n_existing rows, using the
+    storage's build-time measure (Hamming for SBQ, full-precision
+    otherwise) — one MXU/VPU batch replacing early-wave beam searches."""
+    if use_codes:
+        from ..ops.hamming import hamming_distance_matrix
+
+        d = hamming_distance_matrix(
+            arrays.codes[node_ids], arrays.codes[:n_existing]
+        ).astype(jnp.float32)
+    else:
+        qv = arrays.vectors[node_ids]
+        pts = arrays.vectors[:n_existing]
+        if distance_type == DistanceType.L2:
+            q_sq = jnp.sum(qv * qv, axis=-1, keepdims=True)
+            c_sq = jnp.sum(pts * pts, axis=-1)[None, :]
+            dots = jnp.dot(qv, pts.T, preferred_element_type=jnp.float32)
+            d = jnp.maximum(q_sq - 2.0 * dots + c_sq, 0.0)
+        else:
+            dots = jnp.dot(qv, pts.T, preferred_element_type=jnp.float32)
+            d = (
+                -dots
+                if distance_type == DistanceType.INNER_PRODUCT
+                else jnp.maximum(1.0 - dots, 0.0)
+            )
+    # Exclude self-matches (a wave node is never < n_existing, but adds may
+    # re-insert semantics later; robust_prune drops self anyway).
+    neg, ids = lax.top_k(-d, num_candidates)
+    return ids.astype(jnp.int32), -neg
 
 
 def _dedup_candidates(cand_ids, cand_dists):

@@ -115,6 +115,7 @@ def get_start_ids(
         "distance_type",
         "use_codes",
         "filtered",
+        "expand_factor",
     ),
 )
 def beam_search(
@@ -129,11 +130,25 @@ def beam_search(
     distance_type: DistanceType,
     use_codes: bool,
     filtered: bool,
+    expand_factor: int = 1,
 ) -> SearchResult:
+    """Batched greedy beam search.
+
+    ``expand_factor`` (E) is the multi-frontier widening from the
+    GPU-graph-search literature (CAGRA, PAPERS.md): each iteration visits
+    the E best unvisited beam entries instead of one, cutting the
+    sequential while_loop length ~E× at slightly wider per-step batch
+    work — the right trade on TPU, where loop iterations are
+    latency-bound.  E=1 reproduces the reference's strict best-first
+    order (ListSearchResult::visit_closest, graph/mod.rs:153-170);
+    ``max_iters`` is the *visit* budget regardless of E.
+    """
     q, s = start_ids.shape
     l = search_list_size
     r_max = arrays.max_degree
     h = max_iters
+    e = expand_factor
+    assert 1 <= e <= l
 
     dist_fn = functools.partial(
         _candidate_distances,
@@ -189,12 +204,18 @@ def beam_search(
         jnp.zeros((), dtype=jnp.int32),
     )
 
+    iter_bound = -(-max_iters // e) + 1  # visit budget / frontier width
+
     def cond(state):
-        beam_ids, beam_dists, beam_visited, *_, it = state
+        beam_ids, beam_dists, beam_visited, _, _, n_visited, _, it = state
         has_unvisited = jnp.any(
             (beam_ids != INVALID_ID) & ~beam_visited, axis=1
         )
-        return jnp.any(has_unvisited) & (it < max_iters)
+        budget_left = n_visited < h
+        return jnp.any(has_unvisited & budget_left) & (it < iter_bound)
+
+    q_idx = jnp.arange(q, dtype=jnp.int32)[:, None]
+    er = e * r_max
 
     def body(state):
         (
@@ -208,49 +229,41 @@ def beam_search(
             it,
         ) = state
 
-        # --- select the best unvisited beam entry per query
-        # (ListSearchResult::visit_closest, graph/mod.rs:153-170) ---
+        # --- select the E best unvisited beam entries per query
+        # (ListSearchResult::visit_closest, graph/mod.rs:153-170;
+        # E-wide frontier per CAGRA) ---
         unvisited_d = jnp.where(
             (beam_ids != INVALID_ID) & ~beam_visited, beam_dists, INF
         )
-        best_idx = jnp.argmin(unvisited_d, axis=1)  # [Q]
-        active = jnp.take_along_axis(
-            unvisited_d, best_idx[:, None], axis=1
-        )[:, 0] < INF
+        neg_d, sel_pos = lax.top_k(-unvisited_d, e)  # [Q, E]
+        sel_dist = -neg_d
+        active = sel_dist < INF  # [Q, E]
         sel_id = jnp.where(
             active,
-            jnp.take_along_axis(beam_ids, best_idx[:, None], axis=1)[:, 0],
+            jnp.take_along_axis(beam_ids, sel_pos, axis=1),
             INVALID_ID,
         )
-        sel_dist = jnp.take_along_axis(beam_dists, best_idx[:, None], axis=1)[
-            :, 0
-        ]
 
-        # Mark visited.
-        beam_visited = jnp.where(
-            jnp.arange(l)[None, :] == best_idx[:, None],
-            beam_visited | active[:, None],
-            beam_visited,
-        )
+        # Visit-budget guard: entries that would overflow the history stay
+        # unvisited (they can be picked up after other queries converge).
+        rank = jnp.cumsum(active.astype(jnp.int32), axis=1) - 1  # [Q, E]
+        pos = n_visited[:, None] + rank
+        active = active & (pos < h)
+        sel_id = jnp.where(active, sel_id, INVALID_ID)
 
-        # Append to visit history.
-        hist_ids = jnp.where(
-            active[:, None]
-            & (jnp.arange(h)[None, :] == n_visited[:, None]),
-            sel_id[:, None],
-            hist_ids,
-        )
-        hist_dists = jnp.where(
-            active[:, None]
-            & (jnp.arange(h)[None, :] == n_visited[:, None]),
-            sel_dist[:, None],
-            hist_dists,
-        )
-        n_visited = n_visited + active.astype(jnp.int32)
+        # Mark visited (scatter over beam positions; top_k positions are
+        # distinct per row).
+        beam_visited = beam_visited.at[q_idx, sel_pos].max(active)
 
-        # --- expand: gather adjacency row (storage.visit_lsn analog) ---
-        nbrs = arrays.adjacency[jnp.maximum(sel_id, 0)]  # [Q, R]
-        valid = (nbrs != INVALID_ID) & active[:, None]
+        # Append to visit history (out-of-budget entries dropped above).
+        pos_w = jnp.where(active, pos, h)  # h is out of bounds -> dropped
+        hist_ids = hist_ids.at[q_idx, pos_w].set(sel_id, mode="drop")
+        hist_dists = hist_dists.at[q_idx, pos_w].set(sel_dist, mode="drop")
+        n_visited = n_visited + jnp.sum(active, axis=1, dtype=jnp.int32)
+
+        # --- expand: gather E adjacency rows (storage.visit_lsn analog) ---
+        nbrs = arrays.adjacency[jnp.maximum(sel_id, 0)].reshape(q, er)
+        valid = (nbrs != INVALID_ID) & jnp.repeat(active, r_max, axis=1)
 
         # Label-overlap skip for filtered search
         # (sbq/storage.rs:165-172).
@@ -272,8 +285,8 @@ def beam_search(
         # Dedup within the candidate row itself (keep first occurrence).
         nbr_eq = nbrs[:, :, None] == nbrs[:, None, :]
         nbr_earlier = (
-            jnp.arange(r_max)[None, :, None]
-            > jnp.arange(r_max)[None, None, :]
+            jnp.arange(er)[None, :, None]
+            > jnp.arange(er)[None, None, :]
         )
         nbr_dup = jnp.any(nbr_eq & nbr_earlier & valid[:, None, :], axis=-1)
         valid = valid & ~nbr_dup
@@ -287,7 +300,7 @@ def beam_search(
         )
         all_dists = jnp.concatenate([beam_dists, cand_d], axis=1)
         all_vis = jnp.concatenate(
-            [beam_visited, jnp.zeros((q, r_max), dtype=jnp.bool_)], axis=1
+            [beam_visited, jnp.zeros((q, er), dtype=jnp.bool_)], axis=1
         )
         sorted_d, sorted_ids, sorted_vis = lax.sort(
             (all_dists, all_ids, all_vis), dimension=1, num_keys=1

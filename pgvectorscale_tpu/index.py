@@ -191,8 +191,9 @@ class DiskannIndex:
         *,
         labels: Optional[Sequence[Optional[Iterable[int]]]] = None,
         external_ids: Optional[np.ndarray] = None,
-        initial_wave: int = 64,
+        initial_wave: int = 256,
         max_wave: int = 4096,
+        sbq_stats: Optional[sbq.SbqStats] = None,
     ) -> "DiskannIndex":
         """Build an index over ``vectors`` [N, D] (N may be 0).
 
@@ -200,6 +201,11 @@ class DiskannIndex:
         quantizer over a full pass, then insert vectors in geometric waves
         (the batched analog of the per-tuple heap-scan callbacks), then run
         the final prune pass.
+
+        ``sbq_stats``: reuse a pre-trained quantizer instead of training on
+        this data — used by sharded builds, where the quantizer is trained
+        once globally (the analog of the reference training once before
+        parallel workers launch, build.rs:574-614).
         """
         vectors = np.asarray(vectors, dtype=np.float32)
         if vectors.ndim != 2:
@@ -223,7 +229,9 @@ class DiskannIndex:
 
         # Quantizer training pass (maybe_train_quantizer, build.rs:574-614).
         indexed = dev_vectors[:, : config.dims_to_index]
-        if config.uses_sbq and n > 0:
+        if sbq_stats is not None:
+            stats = sbq_stats
+        elif config.uses_sbq and n > 0:
             stats = sbq.train(indexed)
         else:
             stats = _empty_stats(config.dims_to_index)
@@ -275,7 +283,7 @@ class DiskannIndex:
         self,
         ids: np.ndarray,
         *,
-        initial_wave: int = 64,
+        initial_wave: int = 256,
         max_wave: int = 4096,
     ) -> None:
         """Insert already-stored rows into the graph in geometric waves."""
@@ -292,8 +300,14 @@ class DiskannIndex:
         for off, size in wave_schedule(
             len(remaining), initial=initial_wave, max_wave=max_wave
         ):
+            wave = remaining[off : off + size]
+            # Rows are inserted in contiguous id order, so everything below
+            # the wave's first id is already in the graph.
             arrays = insert_wave(
-                arrays, self._ctx, remaining[off : off + size]
+                arrays,
+                self._ctx,
+                wave,
+                n_existing=int(wave[0]),
             )
         self.arrays = arrays
 
@@ -406,6 +420,11 @@ class DiskannIndex:
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         q = queries.shape[0]
         config = self.config
+        if queries.shape[1] != config.num_dimensions:
+            raise ValueError(
+                f"query dimension {queries.shape[1]} != index dimension "
+                f"{config.num_dimensions}"
+            )
 
         qv = jnp.asarray(queries)
         if config.distance_type == DistanceType.COSINE:
@@ -443,6 +462,7 @@ class DiskannIndex:
             distance_type=config.distance_type,
             use_codes=config.uses_sbq,
             filtered=filtered,
+            expand_factor=min(params.expand, l),
         )
 
         from .stats import GreedySearchStats

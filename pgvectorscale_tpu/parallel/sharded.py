@@ -1,0 +1,374 @@
+"""Row-sharded multi-chip index.
+
+The capacity-scaling configuration for corpora larger than one chip's HBM
+(BASELINE.md: Cohere-768 50M streaming).  The reference scales the vector
+axis with disk-resident pages + compression; the TPU-native analog shards
+the store across the device mesh:
+
+- Rows are partitioned round-robin over P shards; each shard holds an
+  independent Vamana graph over its rows (codes/adjacency/vectors stacked
+  with a leading shard axis, sharded over the mesh's ``n`` axis).
+- The SBQ quantizer is trained ONCE globally and shared by all shards —
+  the analog of the reference training the quantizer before parallel
+  workers launch (build.rs:574-614).
+- A query searches all shards simultaneously (``vmap`` over the shard
+  axis — XLA SPMD turns the sharded batch dim into per-device compute
+  with zero cross-device traffic during traversal) and merges per-shard
+  top-k with one small all-gather — collectives ride ICI only at the
+  final merge.
+- Inserts route round-robin to shards (each shard's insert is the
+  single-shard ``aminsert`` path); deletes tombstone in the owning shard.
+
+Per-shard graphs cost P× total traversal work versus one global graph,
+but each shard's graph is over N/P rows (shorter searches) and the work
+is perfectly parallel — the standard scale-out design for
+partitioned ANN serving.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from typing import Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import (
+    CHECKPOINT_MAGIC,
+    CHECKPOINT_VERSION,
+    DistanceType,
+    IndexConfig,
+    QueryParams,
+)
+from ..distance import preprocess_cosine
+from ..graph.search import beam_search
+from ..index import DiskannIndex, _query_max_iters
+from ..ops import sbq
+from ..store import INVALID_ID, GraphArrays, from_host, to_host
+
+
+def _stack_arrays(per_shard: list[GraphArrays]) -> GraphArrays:
+    """Stack per-shard GraphArrays into leading-axis-P tensors (equal
+    capacities required)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *per_shard)
+
+
+def _shard_leading(tree, mesh: Mesh):
+    """Place every leaf with its leading (shard) axis over mesh axis n."""
+
+    def put(x):
+        spec = P("n", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "search_list_size",
+        "max_iters",
+        "distance_type",
+        "use_codes",
+        "expand_factor",
+        "rescore_n",
+        "use_exact",
+    ),
+)
+def _sharded_search_step(
+    stacked: GraphArrays,  # leaves [P, ...]
+    query_vecs: jax.Array,  # f32[Q, D] (replicated)
+    query_codes: jax.Array,  # u32[Q, W]
+    *,
+    k: int,
+    search_list_size: int,
+    max_iters: int,
+    distance_type: DistanceType,
+    use_codes: bool,
+    expand_factor: int,
+    rescore_n: int,
+    use_exact: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """All-shard search + exact rescore + cross-shard top-k merge.
+
+    Returns (shard_local_ids i32[Q, k] encoded as shard * cap + local,
+    dists f32[Q, k]).  The vmapped body partitions over the sharded
+    leading axis; the final merge is the only cross-device step.
+    """
+    q = query_vecs.shape[0]
+    cap = stacked.adjacency.shape[1]
+
+    def per_shard(arrays: GraphArrays):
+        starts = jnp.broadcast_to(
+            arrays.default_start[None, None], (q, 1)
+        ).astype(jnp.int32)
+        res = beam_search(
+            arrays,
+            query_vecs,
+            query_codes,
+            jnp.zeros((q, 0), jnp.int32),
+            starts,
+            search_list_size=search_list_size,
+            max_iters=max_iters,
+            distance_type=distance_type,
+            use_codes=use_codes,
+            filtered=False,
+            expand_factor=expand_factor,
+        )
+        live = (res.beam_ids != INVALID_ID) & ~arrays.deleted[
+            jnp.maximum(res.beam_ids, 0)
+        ]
+        d = jnp.where(live, res.beam_dists, jnp.inf)
+        ids = jnp.where(live, res.beam_ids, INVALID_ID)
+        d, ids = lax.sort((d, ids), dimension=1, num_keys=1)
+        m = min(rescore_n + k, ids.shape[1]) if use_exact else k
+        top_ids = ids[:, :m]
+        top_d = d[:, :m]
+        if use_exact:
+            vecs = arrays.vectors[jnp.maximum(top_ids, 0)]
+            if distance_type == DistanceType.L2:
+                diff = vecs - query_vecs[:, None, :]
+                exact = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
+            else:
+                dots = jnp.einsum(
+                    "qmd,qd->qm",
+                    vecs,
+                    query_vecs,
+                    preferred_element_type=jnp.float32,
+                )
+                exact = (
+                    -dots
+                    if distance_type == DistanceType.INNER_PRODUCT
+                    else jnp.maximum(1.0 - dots, 0.0)
+                )
+            exact = jnp.where(top_ids == INVALID_ID, jnp.inf, exact)
+            exact = jnp.where(top_d == jnp.inf, jnp.inf, exact)
+            top_d, top_ids = lax.sort(
+                (exact, top_ids), dimension=1, num_keys=1
+            )
+        return top_ids[:, :k], top_d[:, :k]
+
+    ids_pqk, d_pqk = jax.vmap(per_shard)(stacked)  # [P, Q, k]
+    p = ids_pqk.shape[0]
+    # Encode global slot = shard * cap + local id; merge across shards.
+    shard_off = (
+        jnp.arange(p, dtype=jnp.int32)[:, None, None] * cap
+    )
+    gids = jnp.where(ids_pqk >= 0, ids_pqk + shard_off, INVALID_ID)
+    all_ids = jnp.transpose(gids, (1, 0, 2)).reshape(q, p * k)
+    all_d = jnp.transpose(d_pqk, (1, 0, 2)).reshape(q, p * k)
+    sd, sids = lax.sort((all_d, all_ids), dimension=1, num_keys=1)
+    return sids[:, :k], sd[:, :k]
+
+
+class ShardedDiskannIndex:
+    """A DiskANN index row-sharded over a device mesh."""
+
+    def __init__(
+        self,
+        config: IndexConfig,
+        mesh: Mesh,
+        stacked: GraphArrays,
+        sbq_stats: sbq.SbqStats,
+        external_ids: list[np.ndarray],  # per shard
+    ):
+        self.config = config
+        self.mesh = mesh
+        self.stacked = stacked
+        self.sbq_stats = sbq_stats
+        self.external_ids = external_ids
+        self._next_shard = 0
+
+    @property
+    def num_shards(self) -> int:
+        return self.stacked.adjacency.shape[0]
+
+    @property
+    def shard_capacity(self) -> int:
+        return self.stacked.adjacency.shape[1]
+
+    @property
+    def count(self) -> int:
+        return int(np.asarray(self.stacked.count).sum())
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        vectors: np.ndarray,
+        config: IndexConfig,
+        mesh: Mesh,
+        *,
+        external_ids: Optional[np.ndarray] = None,
+    ) -> "ShardedDiskannIndex":
+        if config.has_labels:
+            raise NotImplementedError(
+                "label-filtered search on the sharded store lands with the "
+                "sharded filtered build; use DiskannIndex for labeled data"
+            )
+        vectors = np.asarray(vectors, dtype=np.float32)
+        n = vectors.shape[0]
+        p = mesh.devices.size
+        if external_ids is None:
+            external_ids = np.arange(n, dtype=np.int64)
+
+        # Global quantizer training (one pass; shards share the stats).
+        dev = jnp.asarray(vectors)
+        if config.distance_type == DistanceType.COSINE:
+            dev = preprocess_cosine(dev)
+        stats = (
+            sbq.train(dev[:, : config.dims_to_index])
+            if config.uses_sbq and n > 0
+            else None
+        )
+
+        # Round-robin partition, per-shard local builds.
+        shards = []
+        ext = []
+        for s in range(p):
+            rows = np.arange(s, n, p)
+            sub = DiskannIndex.build(
+                vectors[rows],
+                config,
+                external_ids=external_ids[rows],
+                sbq_stats=stats,
+            )
+            shards.append(sub)
+            ext.append(sub.external_ids)
+
+        cap = max(s.arrays.capacity for s in shards)
+        from .. import store
+
+        padded = [
+            store.grow(s.arrays, cap) if s.arrays.capacity < cap else s.arrays
+            for s in shards
+        ]
+        stacked = _shard_leading(_stack_arrays(padded), mesh)
+        if stats is None:
+            from ..index import _empty_stats
+
+            stats = _empty_stats(config.dims_to_index)
+        return cls(config, mesh, stacked, stats, ext)
+
+    # ------------------------------------------------------------------
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        params: Optional[QueryParams] = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched top-k over all shards.  Returns (global slot ids, dists);
+        map ids with ``to_external``."""
+        params = params or QueryParams()
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        config = self.config
+        if queries.shape[1] != config.num_dimensions:
+            raise ValueError(
+                f"query dimension {queries.shape[1]} != index dimension "
+                f"{config.num_dimensions}"
+            )
+        qv = jnp.asarray(queries)
+        if config.distance_type == DistanceType.COSINE:
+            qv = preprocess_cosine(qv)
+        q_indexed = qv[:, : config.dims_to_index]
+        if config.uses_sbq:
+            qc = sbq.encode(
+                q_indexed, self.sbq_stats, config.bits_per_dimension
+            )
+        else:
+            qc = jnp.zeros((queries.shape[0], 0), dtype=jnp.uint32)
+
+        l = max(params.search_list_size, k)
+        use_exact = params.rescore > 0 and (
+            config.uses_sbq
+            or config.dims_to_index < config.num_dimensions
+        )
+        ids, dists = _sharded_search_step(
+            self.stacked,
+            q_indexed if not use_exact else qv,
+            qc,
+            k=k,
+            search_list_size=l,
+            max_iters=_query_max_iters(l),
+            distance_type=config.distance_type,
+            use_codes=config.uses_sbq,
+            expand_factor=min(params.expand, l),
+            rescore_n=params.rescore,
+            use_exact=use_exact,
+        )
+        return np.asarray(ids), np.asarray(dists)
+
+    def to_external(self, ids: np.ndarray) -> np.ndarray:
+        """Global slot ids (shard * cap + local) -> external ids."""
+        cap = self.shard_capacity
+        out = np.full(ids.shape, -1, dtype=np.int64)
+        flat = ids.reshape(-1)
+        res = out.reshape(-1)
+        for i, g in enumerate(flat):
+            if g >= 0:
+                res[i] = self.external_ids[g // cap][g % cap]
+        return out
+
+    # ------------------------------------------------------------------
+
+    def add(
+        self, vectors: np.ndarray, external_ids: Optional[np.ndarray] = None
+    ) -> None:
+        """Round-robin insert into shards (single-shard aminsert path per
+        shard).  Rebuilds the stacked tensors afterwards."""
+        vectors = np.asarray(vectors, dtype=np.float32)
+        m = vectors.shape[0]
+        if m == 0:
+            return
+        if external_ids is None:
+            base = max(
+                (int(e.max()) + 1 for e in self.external_ids if len(e)),
+                default=0,
+            )
+            external_ids = np.arange(base, base + m, dtype=np.int64)
+        p = self.num_shards
+        shards = self._unstack()
+        for j, sub in enumerate(shards):
+            rows = np.arange((j - self._next_shard) % p, m, p)
+            if len(rows):
+                sub.add(vectors[rows], external_ids=external_ids[rows])
+        self._next_shard = (self._next_shard + m) % p
+        self._restack(shards)
+
+    def delete_external(self, ext_ids: np.ndarray) -> None:
+        shards = self._unstack()
+        for sub in shards:
+            sub.delete_external(ext_ids)
+        self._restack(shards)
+
+    def _unstack(self) -> list[DiskannIndex]:
+        host = to_host(self.stacked)
+        shards = []
+        for s in range(self.num_shards):
+            arrays = from_host(
+                type(host)(*[leaf[s] for leaf in host])
+            )
+            shards.append(
+                DiskannIndex(
+                    self.config, arrays, self.sbq_stats, self.external_ids[s]
+                )
+            )
+        return shards
+
+    def _restack(self, shards: list[DiskannIndex]) -> None:
+        from .. import store
+
+        cap = max(s.arrays.capacity for s in shards)
+        padded = [
+            store.grow(s.arrays, cap) if s.arrays.capacity < cap else s.arrays
+            for s in shards
+        ]
+        self.stacked = _shard_leading(_stack_arrays(padded), self.mesh)
+        self.external_ids = [s.external_ids for s in shards]

@@ -1,0 +1,95 @@
+"""Sharded (multi-chip) index tests on the 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pgvectorscale_tpu import DistanceType, IndexConfig, QueryParams
+from pgvectorscale_tpu.distance import preprocess_cosine
+from pgvectorscale_tpu.ops.bruteforce import brute_force_search
+from pgvectorscale_tpu.parallel.mesh import make_mesh
+from pgvectorscale_tpu.parallel.sharded import ShardedDiskannIndex
+
+
+def _mesh():
+    return make_mesh(8, axis_name="n")
+
+
+def _lowrank(rng, n, q, d, rank=32):
+    basis = rng.standard_normal((rank, d)).astype(np.float32)
+    return (
+        rng.standard_normal((n, rank)).astype(np.float32) @ basis,
+        rng.standard_normal((q, rank)).astype(np.float32) @ basis,
+    )
+
+
+def test_sharded_recall_matches_single_index(rng):
+    """Sharding must not lose recall versus a single-device index at the
+    same parameters (in practice it gains: P shards × beam L is a wider
+    total frontier)."""
+    from pgvectorscale_tpu import DiskannIndex
+
+    n, d, q, k = 1500, 64, 30, 10
+    vectors, queries = _lowrank(rng, n, q, d)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.COSINE,
+        num_neighbors=20,
+        search_list_size=50,
+    )
+    params = QueryParams(search_list_size=50, rescore=50)
+
+    dv = preprocess_cosine(jnp.asarray(vectors))
+    dq = preprocess_cosine(jnp.asarray(queries))
+    gt, _ = brute_force_search(
+        dq, dv, jnp.ones(n, bool), k=k, distance_type=DistanceType.COSINE
+    )
+    gt = np.asarray(gt)
+
+    def recall_of(rows):
+        return sum(
+            len(set(gt[r]) & set(int(i) for i in rows[r] if i >= 0))
+            for r in range(q)
+        ) / (q * k)
+
+    single = DiskannIndex.build(vectors, config)
+    ids_s, _ = single.search(queries, k=k, params=params)
+    recall_single = recall_of(ids_s)
+
+    index = ShardedDiskannIndex.build(vectors, config, _mesh())
+    assert index.count == n
+    ids, dists = index.search(queries, k=k, params=params)
+    recall_sharded = recall_of(index.to_external(ids))
+
+    assert recall_sharded >= recall_single - 0.05, (
+        f"sharded recall {recall_sharded} < single-index {recall_single}"
+    )
+    # Distances sorted ascending.
+    assert np.all(np.diff(dists, axis=1) >= -1e-6)
+
+
+def test_sharded_add_and_delete(rng):
+    n, d = 800, 32
+    vectors, queries = _lowrank(rng, n + 100, 0, d)
+    vectors, extra = vectors[:n], vectors[n:]
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=16,
+        search_list_size=32,
+    )
+    index = ShardedDiskannIndex.build(vectors, config, _mesh())
+    index.add(extra)
+    assert index.count == n + 100
+
+    # Inserted rows are findable.
+    ids, _ = index.search(extra[:5], k=1)
+    ext = index.to_external(ids)
+    assert (ext[:, 0] >= n).all()
+
+    # Delete them again; they vanish from results.
+    index.delete_external(np.arange(n, n + 100, dtype=np.int64))
+    ids, _ = index.search(extra[:5], k=3)
+    ext = index.to_external(ids)
+    assert (ext < n).all()
