@@ -24,6 +24,13 @@ import time
 
 import numpy as np
 
+# Persistent compile cache: wave/search kernels have a handful of fixed
+# shapes; caching makes repeat bench runs compile-free.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+)
+
 
 def main():
     n = int(os.environ.get("BENCH_N", 100_000))

@@ -49,9 +49,12 @@ from .prune import (
 )
 from .search import beam_search, get_start_ids
 
-# How many overflowing rows one re-prune batch handles; overflow loops until
-# drained (usually 0-2 rounds per wave).
-PRUNE_BATCH = 256
+# How many overflowing rows one re-prune batch handles (finalize path).
+PRUNE_BATCH = 8192
+# Max distinct overflowing rows handled per wave, in-device (fixed shape).
+# Edges rejected beyond this budget are dropped for the wave; the final
+# prune + orphan repair make up the difference.
+MAX_OVERFLOW_ROWS = 4096
 # Multi-frontier width for build-time searches (see beam_search
 # expand_factor): same candidate quality, ~4x fewer sequential steps.
 BUILD_EXPAND_FACTOR = 4
@@ -210,14 +213,6 @@ def append_backlinks(
     return new_adj, accepted
 
 
-def find_overflow_rows(adjacency: jax.Array, candidates: jax.Array) -> np.ndarray:
-    """Host helper: which of `candidates` rows are at capacity."""
-    rows = np.asarray(adjacency[jnp.maximum(candidates, 0)])
-    deg = (rows != INVALID_ID).sum(axis=1)
-    cand = np.asarray(candidates)
-    return cand[(deg >= adjacency.shape[1]) & (cand >= 0)]
-
-
 class BuildContext:
     """Host-side orchestration state for a build (the analog of BuildState,
     build.rs:59-90)."""
@@ -266,7 +261,9 @@ def insert_wave(
     search_list_size: Optional[int] = None,
     n_existing: Optional[int] = None,
 ) -> GraphArrays:
-    """Insert a wave of already-stored nodes into the graph.
+    """Insert a wave of already-stored nodes into the graph — ONE fused
+    device step (search/brute candidates + prune + adjacency write +
+    backlinks + in-device overflow prune).
 
     Mirrors graph.insert semantics (graph/mod.rs:637-717): for labeled
     vectors a filtered pass from label start nodes plus an unfiltered pass
@@ -279,35 +276,86 @@ def insert_wave(
     """
     config = ctx.config
     b = len(node_ids_np)
-    node_ids = jnp.asarray(node_ids_np, dtype=jnp.int32)
+    n_real = int((np.asarray(node_ids_np) >= 0).sum())
     l = search_list_size or config.search_list_size
-    max_iters = _build_max_iters(l)
+    brute = (
+        n_existing is not None and n_existing <= BRUTE_CANDIDATE_THRESHOLD
+    )
+    prefix = (0 if n_existing is None else int(n_existing)) + n_real
+    return _wave_step_jit(
+        arrays,
+        jnp.asarray(node_ids_np, dtype=jnp.int32),
+        jnp.asarray(prefix, dtype=jnp.int32),
+        search_list_size=l,
+        max_iters=_build_max_iters(l),
+        brute=brute,
+        slice_rows=min(BRUTE_CANDIDATE_THRESHOLD + b, arrays.capacity),
+        use_codes=config.uses_sbq,
+        code_bits=config.dims_to_index * config.bits_per_dimension,
+        distance_type=config.distance_type,
+        alphas=ctx.alphas,
+        num_neighbors=config.num_neighbors,
+        labeled=config.has_labels,
+    )
 
-    node_labels = arrays.node_labels[node_ids]
-    labeled = config.has_labels
 
-    query_vecs = arrays.vectors[node_ids]
-    query_codes = arrays.codes[node_ids]
-    use_codes = config.uses_sbq
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "search_list_size",
+        "max_iters",
+        "brute",
+        "slice_rows",
+        "use_codes",
+        "code_bits",
+        "distance_type",
+        "alphas",
+        "num_neighbors",
+        "labeled",
+    ),
+)
+def _wave_step_jit(
+    arrays: GraphArrays,
+    node_ids: jax.Array,  # i32[B], INVALID_ID padded
+    prefix: jax.Array,  # i32 scalar — rows < prefix may be candidates
+    *,
+    search_list_size: int,
+    max_iters: int,
+    brute: bool,
+    slice_rows: int,
+    use_codes: bool,
+    code_bits: int,
+    distance_type: DistanceType,
+    alphas: tuple,
+    num_neighbors: int,
+    labeled: bool,
+) -> GraphArrays:
+    """The fused wave step.  One dispatch per wave keeps the build off the
+    host (the per-op eager path pays tunnel latency per call)."""
+    b = node_ids.shape[0]
+    l = search_list_size
+    safe_ids = jnp.maximum(node_ids, 0)
+    node_labels = arrays.node_labels[safe_ids]
+    query_vecs = arrays.vectors[safe_ids]
+    query_codes = arrays.codes[safe_ids]
 
-    if n_existing is not None and n_existing <= BRUTE_CANDIDATE_THRESHOLD:
-        # --- exact candidates in one batch.  Unlike beam search, brute
-        # scoring needs no graph connectivity, so the wave's own rows are
-        # included as candidates: intra-wave edges form directly (serial
-        # Vamana gets these via insertion order; prefix-restricted waves
-        # would never create them).  num_candidates has +1 slack because
-        # each node scores itself (robust_prune drops self). ---
-        prefix = int(n_existing) + b
+    if brute:
+        # Exact candidates in one batch.  Unlike beam search, brute scoring
+        # needs no graph connectivity, so the wave's own rows are included
+        # (intra-wave edges form directly; prefix-restricted candidates
+        # would never create them).  +1 slack: each node scores itself and
+        # robust_prune drops self.
         cand_ids, cand_dists = _brute_candidates(
             arrays,
             node_ids,
-            n_existing=prefix,
-            num_candidates=min(l + 1, prefix),
+            prefix,
+            slice_rows=slice_rows,
+            num_candidates=min(l + 1, slice_rows),
             use_codes=use_codes,
-            distance_type=config.distance_type,
+            distance_type=distance_type,
         )
     else:
-        # --- unfiltered pass from the default start node ---
+        # Unfiltered pass from the default start node.
         start_ids = jnp.broadcast_to(
             arrays.default_start[None, None], (b, 1)
         ).astype(jnp.int32)
@@ -319,7 +367,7 @@ def insert_wave(
             start_ids,
             search_list_size=l,
             max_iters=max_iters,
-            distance_type=config.distance_type,
+            distance_type=distance_type,
             use_codes=use_codes,
             filtered=False,
             expand_factor=min(BUILD_EXPAND_FACTOR, l),
@@ -328,8 +376,8 @@ def insert_wave(
         cand_dists = res.hist_dists
 
         if labeled:
-            # --- filtered pass from label start nodes (insert two-phase,
-            # graph/mod.rs:652-660) ---
+            # Filtered pass from label start nodes (two-phase insert,
+            # graph/mod.rs:652-660).
             label_starts = get_start_ids(arrays, node_labels, b)
             res_f = beam_search(
                 arrays,
@@ -339,12 +387,11 @@ def insert_wave(
                 label_starts,
                 search_list_size=l,
                 max_iters=max_iters,
-                distance_type=config.distance_type,
+                distance_type=distance_type,
                 use_codes=use_codes,
                 filtered=True,
                 expand_factor=min(BUILD_EXPAND_FACTOR, l),
             )
-            # Merge candidate sets; dedup keeps the first occurrence.
             cand_ids = jnp.concatenate([cand_ids, res_f.hist_ids], axis=1)
             cand_dists = jnp.concatenate(
                 [cand_dists, res_f.hist_dists], axis=1
@@ -352,60 +399,158 @@ def insert_wave(
             cand_ids, cand_dists = _dedup_candidates(cand_ids, cand_dists)
 
     # --- prune into neighbor lists ---
-    nbr_ids, nbr_dists = prune_candidate_sets(
+    nbr_ids, _ = prune_candidate_sets(
         arrays,
         node_ids,
         cand_ids,
         cand_dists,
         node_labels,
         use_codes=use_codes,
-        code_bits=config.dims_to_index * config.bits_per_dimension,
-        distance_type=config.distance_type,
-        alphas=ctx.alphas,
-        num_neighbors=config.num_neighbors,
+        code_bits=code_bits,
+        distance_type=distance_type,
+        alphas=alphas,
+        num_neighbors=num_neighbors,
         labeled=labeled,
     )
 
-    # Write the wave nodes' adjacency rows.
-    pad = config.max_neighbors_during_build - nbr_ids.shape[1]
+    # --- write the wave rows (padded ids scatter out of bounds -> drop) ---
+    pad = arrays.max_degree - nbr_ids.shape[1]
     rows = jnp.pad(nbr_ids, ((0, 0), (0, pad)), constant_values=INVALID_ID)
-    adjacency = arrays.adjacency.at[node_ids].set(rows)
+    write_ids = jnp.where(node_ids >= 0, node_ids, arrays.capacity)
+    adjacency = arrays.adjacency.at[write_ids].set(rows, mode="drop")
     arrays = arrays._replace(adjacency=adjacency)
 
-    # --- backlinks: scatter reverse edges, re-prune overflows ---
+    # --- backlinks ---
     edge_dst = nbr_ids.reshape(-1)
     edge_src = jnp.repeat(node_ids, nbr_ids.shape[1])
-    arrays = _apply_backlinks(arrays, ctx, edge_dst, edge_src)
+    adjacency, accepted = append_backlinks(
+        arrays.adjacency, edge_dst, edge_src
+    )
+    arrays = arrays._replace(adjacency=adjacency)
+
+    # --- in-device overflow prune: rejected edges point at full rows;
+    # prune those rows with candidates = existing ∪ incoming (the incoming
+    # edge competes in the prune, exactly add_neighbors' overflow path,
+    # graph/mod.rs:212-266) ---
+    rejected = (
+        ~accepted & (edge_dst != INVALID_ID) & (edge_src != INVALID_ID)
+    )
+    arrays = _overflow_prune(
+        arrays,
+        edge_dst,
+        edge_src,
+        rejected,
+        use_codes=use_codes,
+        code_bits=code_bits,
+        distance_type=distance_type,
+        alphas=alphas,
+        num_neighbors=num_neighbors,
+        labeled=labeled,
+    )
     return arrays
+
+
+_I32_MAX = jnp.int32(2**31 - 1)
+
+
+def _overflow_prune(
+    arrays: GraphArrays,
+    edge_dst: jax.Array,  # i32[E]
+    edge_src: jax.Array,  # i32[E]
+    rejected: jax.Array,  # bool[E]
+    *,
+    use_codes: bool,
+    code_bits: int,
+    distance_type: DistanceType,
+    alphas: tuple,
+    num_neighbors: int,
+    labeled: bool,
+) -> GraphArrays:
+    """Fixed-shape, in-device handling of backlink overflow.
+
+    Collects up to MAX_OVERFLOW_ROWS distinct full rows, builds a
+    [rows, INCOMING_CAP] incoming table, and prunes each row once with
+    candidates = existing ∪ incoming.  Rows beyond the budget drop their
+    extra backlinks this wave (repaired by finalize/orphan repair).
+    """
+    e = edge_dst.shape[0]
+    m = min(MAX_OVERFLOW_ROWS, e)
+
+    # Unique rejected dst rows, ascending, INVALID-padded.
+    key = jnp.where(rejected, edge_dst, _I32_MAX)
+    s = lax.sort(key)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), s[1:] != s[:-1]]
+    ) & (s != _I32_MAX)
+    uniq = jnp.where(is_first, s, _I32_MAX)
+    uniq = lax.sort(uniq)[:m]  # unique dst values first, _I32_MAX padding
+    row_ids = jnp.where(uniq != _I32_MAX, uniq, INVALID_ID)
+
+    # Incoming table: edge -> (row index via searchsorted, rank in its run).
+    order = jnp.argsort(key)
+    s_dst = key[order]
+    s_src = edge_src[order]
+    idx = jnp.arange(e, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), s_dst[1:] != s_dst[:-1]]
+    )
+    start_idx = jnp.where(is_start, idx, 0)
+    start_idx = lax.associative_scan(jnp.maximum, start_idx)
+    rank = idx - start_idx
+
+    row_pos = jnp.searchsorted(uniq, s_dst).astype(jnp.int32)
+    row_pos = jnp.clip(row_pos, 0, m - 1)
+    hit = (uniq[row_pos] == s_dst) & (s_dst != _I32_MAX)
+    write_row = jnp.where(hit & (rank < INCOMING_CAP), row_pos, m)
+    write_col = jnp.clip(rank, 0, INCOMING_CAP - 1)
+    incoming = jnp.full((m, INCOMING_CAP), INVALID_ID, dtype=jnp.int32)
+    incoming = incoming.at[write_row, write_col].set(s_src, mode="drop")
+
+    return _prune_rows_core(
+        arrays,
+        row_ids,
+        incoming,
+        use_codes=use_codes,
+        code_bits=code_bits,
+        distance_type=distance_type,
+        alphas=alphas,
+        num_neighbors=num_neighbors,
+        labeled=labeled,
+    )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_existing", "num_candidates", "use_codes", "distance_type",
+        "slice_rows", "num_candidates", "use_codes", "distance_type",
     ),
 )
 def _brute_candidates(
     arrays: GraphArrays,
-    node_ids: jax.Array,  # i32[B]
+    node_ids: jax.Array,  # i32[B] (INVALID_ID padding allowed)
+    prefix: jax.Array,  # i32 scalar — candidates restricted to ids < prefix
     *,
-    n_existing: int,
+    slice_rows: int,  # static upper bound on prefix (keeps shapes fixed)
     num_candidates: int,
     use_codes: bool,
     distance_type: DistanceType,
 ) -> tuple[jax.Array, jax.Array]:
-    """Exact top-C candidates over the first n_existing rows, using the
+    """Exact top-C candidates over the first ``prefix`` rows, using the
     storage's build-time measure (Hamming for SBQ, full-precision
-    otherwise) — one MXU/VPU batch replacing early-wave beam searches."""
+    otherwise) — one MXU/VPU batch replacing early-wave beam searches.
+
+    ``prefix`` is dynamic (masked), ``slice_rows`` static, so every wave
+    reuses one compilation."""
+    safe_ids = jnp.maximum(node_ids, 0)
     if use_codes:
         from ..ops.hamming import hamming_distance_matrix
 
         d = hamming_distance_matrix(
-            arrays.codes[node_ids], arrays.codes[:n_existing]
+            arrays.codes[safe_ids], arrays.codes[:slice_rows]
         ).astype(jnp.float32)
     else:
-        qv = arrays.vectors[node_ids]
-        pts = arrays.vectors[:n_existing]
+        qv = arrays.vectors[safe_ids]
+        pts = arrays.vectors[:slice_rows]
         if distance_type == DistanceType.L2:
             q_sq = jnp.sum(qv * qv, axis=-1, keepdims=True)
             c_sq = jnp.sum(pts * pts, axis=-1)[None, :]
@@ -418,10 +563,12 @@ def _brute_candidates(
                 if distance_type == DistanceType.INNER_PRODUCT
                 else jnp.maximum(1.0 - dots, 0.0)
             )
-    # Exclude self-matches (a wave node is never < n_existing, but adds may
-    # re-insert semantics later; robust_prune drops self anyway).
+    col = jnp.arange(slice_rows, dtype=jnp.int32)[None, :]
+    d = jnp.where(col < prefix, d, jnp.inf)
     neg, ids = lax.top_k(-d, num_candidates)
-    return ids.astype(jnp.int32), -neg
+    dists = -neg
+    ids = jnp.where(jnp.isfinite(dists), ids.astype(jnp.int32), INVALID_ID)
+    return ids, dists
 
 
 def _dedup_candidates(cand_ids, cand_dists):
@@ -446,82 +593,6 @@ def _build_max_iters(l: int) -> int:
     return int(math.ceil(1.5 * l)) + 16
 
 
-def _apply_backlinks(
-    arrays: GraphArrays,
-    ctx: BuildContext,
-    edge_dst: jax.Array,
-    edge_src: jax.Array,
-) -> GraphArrays:
-    """Append reverse edges; batch-re-prune rows that overflow.
-
-    Semantics follow update_back_pointer -> add_neighbors
-    (graph/mod.rs:720-737, 212-266): when a row exceeds the build slack
-    capacity it is pruned back to num_neighbors using the full candidate
-    set (existing neighbors + incoming edges).
-    """
-    config = ctx.config
-    max_rounds = 8
-    for _ in range(max_rounds):
-        new_adj, accepted = append_backlinks(
-            arrays.adjacency, edge_dst, edge_src
-        )
-        arrays = arrays._replace(adjacency=new_adj)
-        accepted_np = np.asarray(accepted)
-        if accepted_np.all():
-            return arrays
-
-        # Rejected edges point at full rows: prune those rows (with their
-        # pending incoming edges as candidates), then retry the remainder.
-        dst_np = np.asarray(edge_dst)
-        src_np = np.asarray(edge_src)
-        pending = ~accepted_np & (dst_np >= 0) & (src_np >= 0)
-        full_rows = np.unique(dst_np[pending])
-
-        arrays = _prune_rows_with_incoming(
-            arrays, ctx, full_rows, dst_np[pending], src_np[pending]
-        )
-
-        edge_dst = jnp.asarray(dst_np[pending])
-        edge_src = jnp.asarray(src_np[pending])
-        if edge_dst.shape[0] == 0:
-            return arrays
-    return arrays
-
-
-def _prune_rows_with_incoming(
-    arrays: GraphArrays,
-    ctx: BuildContext,
-    rows_np: np.ndarray,
-    pend_dst: np.ndarray,
-    pend_src: np.ndarray,
-) -> GraphArrays:
-    """Re-prune full adjacency rows, including up to INCOMING_CAP of each
-    row's pending incoming edges in the candidate set."""
-    config = ctx.config
-    r_max = config.max_neighbors_during_build
-
-    # Build incoming lists per row on host (small: only overflowing rows).
-    incoming: dict[int, list[int]] = {int(r): [] for r in rows_np}
-    for d, s in zip(pend_dst, pend_src):
-        lst = incoming.get(int(d))
-        if lst is not None and len(lst) < INCOMING_CAP:
-            lst.append(int(s))
-
-    rows_list = [int(r) for r in rows_np]
-    for i in range(0, len(rows_list), PRUNE_BATCH):
-        batch = rows_list[i : i + PRUNE_BATCH]
-        bsz = len(batch)
-        batch_ids = np.asarray(batch, dtype=np.int32)
-
-        inc = np.full((bsz, INCOMING_CAP), INVALID_ID, dtype=np.int32)
-        for j, r in enumerate(batch):
-            lst = incoming[r]
-            inc[j, : len(lst)] = lst
-
-        arrays = _prune_rows_batch(arrays, ctx, batch_ids, inc)
-    return arrays
-
-
 def _prune_rows_batch(
     arrays: GraphArrays,
     ctx: BuildContext,
@@ -529,32 +600,32 @@ def _prune_rows_batch(
     incoming_np: np.ndarray,
 ) -> GraphArrays:
     config = ctx.config
-    row_ids = jnp.asarray(row_ids_np)
-    incoming = jnp.asarray(incoming_np)
-    arrays = _prune_rows_batch_jit(
+    return _prune_rows_batch_jit(
         arrays,
-        row_ids,
-        incoming,
+        jnp.asarray(row_ids_np),
+        jnp.asarray(incoming_np),
         use_codes=config.uses_sbq,
         code_bits=config.dims_to_index * config.bits_per_dimension,
         distance_type=config.distance_type,
         alphas=ctx.alphas,
         num_neighbors=config.num_neighbors,
         labeled=config.has_labels,
-        r_max=config.max_neighbors_during_build,
     )
-    return arrays
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("use_codes", "code_bits", "distance_type", "alphas",
-                     "num_neighbors", "labeled", "r_max"),
+                     "num_neighbors", "labeled"),
 )
-def _prune_rows_batch_jit(
+def _prune_rows_batch_jit(*args, **kwargs) -> GraphArrays:
+    return _prune_rows_core(*args, **kwargs)
+
+
+def _prune_rows_core(
     arrays: GraphArrays,
-    row_ids: jax.Array,  # i32[B]
-    incoming: jax.Array,  # i32[B, INCOMING_CAP]
+    row_ids: jax.Array,  # i32[B] (INVALID_ID padding allowed)
+    incoming: jax.Array,  # i32[B, W_inc]
     *,
     use_codes: bool,
     code_bits: int,
@@ -562,20 +633,25 @@ def _prune_rows_batch_jit(
     alphas: tuple,
     num_neighbors: int,
     labeled: bool,
-    r_max: int,
 ) -> GraphArrays:
-    """Prune rows to num_neighbors with candidates = existing ∪ incoming."""
-    existing = arrays.adjacency[row_ids]  # [B, r_max]
+    """Prune rows to num_neighbors with candidates = existing ∪ incoming
+    (add_neighbors' overflow path, graph/mod.rs:212-266).  Rows with
+    row_id == INVALID_ID (padding) are dropped at the scatter."""
+    safe_rows = jnp.maximum(row_ids, 0)
+    existing = arrays.adjacency[safe_rows]  # [B, r_max]
     cand_ids = jnp.concatenate([existing, incoming], axis=1)
+    cand_ids = jnp.where(
+        (row_ids != INVALID_ID)[:, None], cand_ids, INVALID_ID
+    )
 
     # Distances from each row's node to its candidates.
     if use_codes:
         from ..ops.hamming import hamming_gather
 
-        qc = arrays.codes[row_ids]
+        qc = arrays.codes[safe_rows]
         cand_d = hamming_gather(qc, arrays.codes, cand_ids).astype(jnp.float32)
     else:
-        qv = arrays.vectors[row_ids]
+        qv = arrays.vectors[safe_rows]
         gathered = arrays.vectors[jnp.maximum(cand_ids, 0)]
         if distance_type == DistanceType.L2:
             diff = gathered - qv[:, None, :]
@@ -598,7 +674,7 @@ def _prune_rows_batch_jit(
     cand_ids, cand_d = _dedup_candidates(cand_ids, cand_d)
 
     node_labels = (
-        arrays.node_labels[row_ids]
+        arrays.node_labels[safe_rows]
         if labeled
         else jnp.zeros((row_ids.shape[0], 0), jnp.int32)
     )
@@ -615,9 +691,10 @@ def _prune_rows_batch_jit(
         num_neighbors=num_neighbors,
         labeled=labeled,
     )
-    pad = r_max - nbr_ids.shape[1]
+    pad = arrays.max_degree - nbr_ids.shape[1]
     rows = jnp.pad(nbr_ids, ((0, 0), (0, pad)), constant_values=INVALID_ID)
-    adjacency = arrays.adjacency.at[row_ids].set(rows)
+    write_ids = jnp.where(row_ids >= 0, row_ids, arrays.capacity)
+    adjacency = arrays.adjacency.at[write_ids].set(rows, mode="drop")
     return arrays._replace(adjacency=adjacency)
 
 
@@ -631,8 +708,10 @@ def finalize(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
     deg = (adj_np[:n] != INVALID_ID).sum(axis=1)
     over = np.nonzero(deg > config.num_neighbors)[0].astype(np.int32)
     for i in range(0, len(over), PRUNE_BATCH):
-        batch = over[i : i + PRUNE_BATCH]
-        inc = np.full((len(batch), 1), INVALID_ID, dtype=np.int32)
+        batch = np.full(PRUNE_BATCH, INVALID_ID, dtype=np.int32)
+        take = over[i : i + PRUNE_BATCH]
+        batch[: len(take)] = take
+        inc = np.full((PRUNE_BATCH, 1), INVALID_ID, dtype=np.int32)
         arrays = _prune_rows_batch(arrays, ctx, batch, inc)
     return repair_orphans(arrays, ctx)
 

@@ -297,10 +297,18 @@ class DiskannIndex:
             )
             pos = 1
         remaining = ids[pos:]
-        for off, size in wave_schedule(
-            len(remaining), initial=initial_wave, max_wave=max_wave
-        ):
-            wave = remaining[off : off + size]
+        done = 0
+        bucket = initial_wave
+        while done < len(remaining):
+            take = min(bucket, len(remaining) - done)
+            wave = remaining[done : done + take]
+            # Pad partial waves to the geometric bucket size so every wave
+            # size in {initial, 2*initial, ..., max_wave} reuses one
+            # compilation (INVALID_ID rows are masked throughout).
+            if take < bucket:
+                wave = np.concatenate(
+                    [wave, np.full(bucket - take, INVALID_ID, np.int32)]
+                )
             # Rows are inserted in contiguous id order, so everything below
             # the wave's first id is already in the graph.
             arrays = insert_wave(
@@ -309,6 +317,8 @@ class DiskannIndex:
                 wave,
                 n_existing=int(wave[0]),
             )
+            done += take
+            bucket = min(bucket * 2, max_wave)
         self.arrays = arrays
 
     # ------------------------------------------------------------------

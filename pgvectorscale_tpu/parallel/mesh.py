@@ -89,19 +89,6 @@ def sharded_search(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "search_list_size",
-        "max_iters",
-        "distance_type",
-        "use_codes",
-        "alphas",
-        "num_neighbors",
-        "r_max",
-        "code_bits",
-    ),
-)
 def build_wave_step(
     arrays: GraphArrays,
     wave_ids: jax.Array,  # i32[B] — already-stored rows to insert
@@ -115,42 +102,20 @@ def build_wave_step(
     r_max: int,
     code_bits: int,
 ) -> GraphArrays:
-    """One fully-jitted build wave: batched greedy search over the current
-    graph, batched RobustPrune, adjacency write, and one backlink scatter
-    round.  This is the framework's "training step" — the unit that shards
-    over the device mesh.
+    """One fully-jitted build wave — the framework's "training step", the
+    unit that shards over the device mesh.  Delegates to the fused
+    ``_wave_step_jit`` (search + prune + adjacency scatter + backlinks +
+    in-device overflow prune)."""
+    from ..graph.build import _wave_step_jit
 
-    (The host-side ``insert_wave`` adds iterative overflow re-pruning on
-    top; overflow rows simply keep their current neighbors here, which the
-    final prune pass cleans up.)
-    """
-    b = wave_ids.shape[0]
-    query_vecs = arrays.vectors[wave_ids]
-    query_codes = arrays.codes[wave_ids]
-    start_ids = jnp.broadcast_to(
-        arrays.default_start[None, None], (b, 1)
-    ).astype(jnp.int32)
-
-    res = beam_search(
-        arrays,
-        query_vecs,
-        query_codes,
-        jnp.zeros((b, 0), jnp.int32),
-        start_ids,
-        search_list_size=search_list_size,
-        max_iters=max_iters,
-        distance_type=distance_type,
-        use_codes=use_codes,
-        filtered=False,
-    )
-
-    node_labels = jnp.zeros((b, 0), jnp.int32)
-    nbr_ids, _ = prune_candidate_sets(
+    return _wave_step_jit(
         arrays,
         wave_ids,
-        res.hist_ids,
-        res.hist_dists,
-        node_labels,
+        jnp.asarray(0, dtype=jnp.int32),
+        search_list_size=search_list_size,
+        max_iters=max_iters,
+        brute=False,
+        slice_rows=1,
         use_codes=use_codes,
         code_bits=code_bits,
         distance_type=distance_type,
@@ -158,16 +123,6 @@ def build_wave_step(
         num_neighbors=num_neighbors,
         labeled=False,
     )
-
-    pad = r_max - nbr_ids.shape[1]
-    rows = jnp.pad(nbr_ids, ((0, 0), (0, pad)), constant_values=INVALID_ID)
-    adjacency = arrays.adjacency.at[wave_ids].set(rows)
-    arrays = arrays._replace(adjacency=adjacency)
-
-    edge_dst = nbr_ids.reshape(-1)
-    edge_src = jnp.repeat(wave_ids, nbr_ids.shape[1])
-    new_adj, _ = append_backlinks(arrays.adjacency, edge_dst, edge_src)
-    return arrays._replace(adjacency=new_adj)
 
 
 def sharded_build_step(
