@@ -222,32 +222,19 @@ class DiskannIndex:
                 "labels passed but config.max_labels_per_vector == 0"
             )
 
-        dev_vectors = jnp.asarray(vectors)
-        if config.distance_type == DistanceType.COSINE:
-            # Cosine pre-normalization at ingest (pg_vector.rs:125-199).
-            dev_vectors = preprocess_cosine(dev_vectors)
-
-        # Quantizer training pass (maybe_train_quantizer, build.rs:574-614).
-        indexed = dev_vectors[:, : config.dims_to_index]
-        if sbq_stats is not None:
-            stats = sbq_stats
-        elif config.uses_sbq and n > 0:
-            stats = sbq.train(indexed)
-        else:
-            stats = _empty_stats(config.dims_to_index)
-
         capacity = max(_round_up(n, 1024), 1024)
-        arrays = store.empty_arrays(config, capacity)
         if n > 0:
-            arrays = arrays._replace(
-                vectors=arrays.vectors.at[:n].set(dev_vectors),
-                count=jnp.asarray(n, dtype=jnp.int32),
+            # One fused device step: normalize + quantizer train pass
+            # (maybe_train_quantizer, build.rs:574-614) + encode + store.
+            arrays, stats = _ingest_jit(
+                jnp.asarray(vectors),
+                sbq_stats
+                if sbq_stats is not None
+                else _empty_stats(config.dims_to_index),
+                capacity=capacity,
+                config=config,
+                train=sbq_stats is None and config.uses_sbq,
             )
-            if config.uses_sbq:
-                codes = sbq.encode(indexed, stats, config.bits_per_dimension)
-                arrays = arrays._replace(
-                    codes=arrays.codes.at[:n].set(codes)
-                )
             if config.has_labels and labels is not None:
                 label_arr = make_label_array(
                     list(labels), config.max_labels_per_vector
@@ -258,6 +245,13 @@ class DiskannIndex:
                     )
                 )
                 arrays = _register_label_starts_host(arrays, label_arr, 0)
+        else:
+            arrays = store.empty_arrays(config, capacity)
+            stats = (
+                sbq_stats
+                if sbq_stats is not None
+                else _empty_stats(config.dims_to_index)
+            )
 
         if external_ids is None:
             external_ids = np.arange(n, dtype=np.int64)
@@ -356,25 +350,13 @@ class DiskannIndex:
                 self.arrays, max(_round_up(needed, 1024), 2 * self.arrays.capacity)
             )
 
-        dev = jnp.asarray(vectors)
-        if self.config.distance_type == DistanceType.COSINE:
-            dev = preprocess_cosine(dev)
-        indexed = dev[:, : self.config.dims_to_index]
-
-        arrays = self.arrays
-        arrays = arrays._replace(
-            vectors=lax.dynamic_update_slice(
-                arrays.vectors, dev, (n0, 0)
-            ),
-            count=jnp.asarray(needed, dtype=jnp.int32),
+        arrays = _add_ingest_jit(
+            self.arrays,
+            self.sbq_stats,
+            jnp.asarray(vectors),
+            jnp.asarray(n0, dtype=jnp.int32),
+            config=self.config,
         )
-        if self.config.uses_sbq:
-            codes = sbq.encode(
-                indexed, self.sbq_stats, self.config.bits_per_dimension
-            )
-            arrays = arrays._replace(
-                codes=lax.dynamic_update_slice(arrays.codes, codes, (n0, 0))
-            )
         if self.config.has_labels:
             if labels is None:
                 labels = [None] * m
@@ -436,20 +418,6 @@ class DiskannIndex:
                 f"{config.num_dimensions}"
             )
 
-        qv = jnp.asarray(queries)
-        if config.distance_type == DistanceType.COSINE:
-            qv = preprocess_cosine(qv)
-        q_indexed = qv[:, : config.dims_to_index]
-
-        if config.uses_sbq:
-            # Quantize the query once (SbqSearchDistanceMeasure,
-            # sbq/mod.rs:139-159).
-            qc = sbq.encode(
-                q_indexed, self.sbq_stats, config.bits_per_dimension
-            )
-        else:
-            qc = jnp.zeros((q, 0), dtype=jnp.uint32)
-
         filtered = query_labels is not None
         if filtered:
             width = max_label_width or config.max_labels_per_vector
@@ -460,37 +428,25 @@ class DiskannIndex:
             ql = jnp.zeros((q, 0), dtype=jnp.int32)
 
         l = max(params.search_list_size, k)
-        start_ids = get_start_ids(self.arrays, ql if filtered else None, q)
-        res = beam_search(
+        ids, dists, search_res = _search_jit(
             self.arrays,
-            q_indexed,
-            qc,
+            self.sbq_stats,
+            jnp.asarray(queries),
             ql,
-            start_ids,
+            config=config,
+            k=k,
             search_list_size=l,
             max_iters=_query_max_iters(l),
-            distance_type=config.distance_type,
-            use_codes=config.uses_sbq,
+            rescore_n=params.rescore,
+            use_exact=self._needs_rescore(params),
             filtered=filtered,
             expand_factor=min(params.expand, l),
         )
 
         from .stats import GreedySearchStats
 
-        self.last_search_stats = GreedySearchStats.from_search_result(res)
-
-        use_exact = self._needs_rescore(params)
-        ids, dists = _finalize_results(
-            self.arrays,
-            qv,
-            ql,
-            res.beam_ids,
-            res.beam_dists,
-            k=k,
-            rescore_n=params.rescore,
-            distance_type=config.distance_type,
-            use_exact=use_exact,
-            filtered=filtered,
+        self.last_search_stats = GreedySearchStats.from_search_result(
+            search_res
         )
         return np.asarray(ids), np.asarray(dists)
 
@@ -756,6 +712,143 @@ class SearchIterator:
 # ----------------------------------------------------------------------
 # helpers
 # ----------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "k",
+        "search_list_size",
+        "max_iters",
+        "rescore_n",
+        "use_exact",
+        "filtered",
+        "expand_factor",
+    ),
+)
+def _search_jit(
+    arrays: GraphArrays,
+    sbq_stats: sbq.SbqStats,
+    raw_queries: jax.Array,  # f32[Q, D]
+    query_labels: jax.Array,  # i32[Q, Lq]
+    *,
+    config: IndexConfig,
+    k: int,
+    search_list_size: int,
+    max_iters: int,
+    rescore_n: int,
+    use_exact: bool,
+    filtered: bool,
+    expand_factor: int,
+):
+    """Fused query path: normalize + encode + start nodes + beam search +
+    tombstone/label filter + exact rescore + top-k — one device dispatch."""
+    q = raw_queries.shape[0]
+    qv = (
+        preprocess_cosine(raw_queries)
+        if config.distance_type == DistanceType.COSINE
+        else raw_queries.astype(jnp.float32)
+    )
+    q_indexed = qv[:, : config.dims_to_index]
+    if config.uses_sbq:
+        # Quantize the query once (SbqSearchDistanceMeasure,
+        # sbq/mod.rs:139-159).
+        qc = sbq.encode(q_indexed, sbq_stats, config.bits_per_dimension)
+    else:
+        qc = jnp.zeros((q, 0), dtype=jnp.uint32)
+
+    start_ids = get_start_ids(arrays, query_labels if filtered else None, q)
+    res = beam_search(
+        arrays,
+        q_indexed,
+        qc,
+        query_labels,
+        start_ids,
+        search_list_size=search_list_size,
+        max_iters=max_iters,
+        distance_type=config.distance_type,
+        use_codes=config.uses_sbq,
+        filtered=filtered,
+        expand_factor=expand_factor,
+    )
+    ids, dists = _finalize_results(
+        arrays,
+        qv,
+        query_labels,
+        res.beam_ids,
+        res.beam_dists,
+        k=k,
+        rescore_n=rescore_n,
+        distance_type=config.distance_type,
+        use_exact=use_exact,
+        filtered=filtered,
+    )
+    return ids, dists, res
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "config", "train"))
+def _ingest_jit(
+    raw_vectors: jax.Array,  # f32[N, D]
+    stats_in: sbq.SbqStats,
+    *,
+    capacity: int,
+    config: IndexConfig,
+    train: bool,
+) -> tuple[GraphArrays, sbq.SbqStats]:
+    """Fused build ingest: allocate the store, cosine-normalize, train the
+    quantizer (one batched pass), encode codes, scatter rows — one device
+    dispatch instead of ~30 eager ops (each eager op pays device round-trip
+    latency on networked TPUs)."""
+    n = raw_vectors.shape[0]
+    arrays = store.empty_arrays(config, capacity)
+    dev = (
+        preprocess_cosine(raw_vectors)
+        if config.distance_type == DistanceType.COSINE
+        else raw_vectors.astype(jnp.float32)
+    )
+    indexed = dev[:, : config.dims_to_index]
+    stats = sbq.train(indexed) if train else stats_in
+    arrays = arrays._replace(
+        vectors=arrays.vectors.at[:n].set(dev),
+        count=jnp.asarray(n, dtype=jnp.int32),
+    )
+    if config.uses_sbq:
+        codes = sbq.encode(indexed, stats, config.bits_per_dimension)
+        arrays = arrays._replace(codes=arrays.codes.at[:n].set(codes))
+    return arrays, stats
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _add_ingest_jit(
+    arrays: GraphArrays,
+    sbq_stats: sbq.SbqStats,
+    raw_vectors: jax.Array,  # f32[M, D]
+    n0: jax.Array,  # i32 scalar — first destination row
+    *,
+    config: IndexConfig,
+) -> GraphArrays:
+    """Fused insert ingest: normalize + encode + store at rows [n0, n0+M)
+    — one device dispatch (aminsert's create_node analog)."""
+    m = raw_vectors.shape[0]
+    dev = (
+        preprocess_cosine(raw_vectors)
+        if config.distance_type == DistanceType.COSINE
+        else raw_vectors.astype(jnp.float32)
+    )
+    indexed = dev[:, : config.dims_to_index]
+    arrays = arrays._replace(
+        vectors=lax.dynamic_update_slice(arrays.vectors, dev, (n0, 0)),
+        count=(n0 + m).astype(jnp.int32),
+    )
+    if config.uses_sbq:
+        codes = sbq.encode(indexed, sbq_stats, config.bits_per_dimension)
+        arrays = arrays._replace(
+            codes=lax.dynamic_update_slice(
+                arrays.codes, codes, (n0, jnp.asarray(0, jnp.int32))
+            )
+        )
+    return arrays
 
 
 def _empty_stats(dims: int) -> sbq.SbqStats:
