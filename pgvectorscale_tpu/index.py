@@ -194,6 +194,7 @@ class DiskannIndex:
         initial_wave: int = 256,
         max_wave: int = 4096,
         sbq_stats: Optional[sbq.SbqStats] = None,
+        progress_callback=None,
     ) -> "DiskannIndex":
         """Build an index over ``vectors`` [N, D] (N may be 0).
 
@@ -265,10 +266,22 @@ class DiskannIndex:
         index = cls(config, arrays, stats, external_ids)
         write_stats = WriteStats()
         if n > 0:
-            index._insert_ids_into_graph(np.arange(n, dtype=np.int32),
-                                         initial_wave=initial_wave,
-                                         max_wave=max_wave)
+            # Phase reporting mirrors the reference's 3 build phases
+            # surfaced in pg_stat_progress_create_index
+            # (ambuildphasename, build.rs:1154-1166).
+            if progress_callback:
+                progress_callback("training quantizer", n, n)
+            index._insert_ids_into_graph(
+                np.arange(n, dtype=np.int32),
+                initial_wave=initial_wave,
+                max_wave=max_wave,
+                progress_callback=progress_callback,
+            )
+            if progress_callback:
+                progress_callback("finalizing graph", 0, n)
             index.arrays = finalize(index.arrays, index._ctx)
+            if progress_callback:
+                progress_callback("finalizing graph", n, n)
         write_stats.num_nodes = n
         index.build_stats = write_stats
         return index
@@ -279,6 +292,7 @@ class DiskannIndex:
         *,
         initial_wave: int = 256,
         max_wave: int = 4096,
+        progress_callback=None,
     ) -> None:
         """Insert already-stored rows into the graph in geometric waves."""
         arrays = self.arrays
@@ -313,6 +327,10 @@ class DiskannIndex:
             )
             done += take
             bucket = min(bucket * 2, max_wave)
+            if progress_callback:
+                progress_callback(
+                    "inserting tuples", done + pos, len(ids)
+                )
         self.arrays = arrays
 
     # ------------------------------------------------------------------
@@ -450,6 +468,25 @@ class DiskannIndex:
         )
         return np.asarray(ids), np.asarray(dists)
 
+    def estimate_query_cost(
+        self, params: Optional[QueryParams] = None
+    ) -> dict:
+        """Rough per-query cost estimate (amcostestimate analog,
+        cost_estimate.rs:6-50 — the reference charges genericcostestimate
+        with numIndexTuples = tuples/100; we report the actual expected
+        work instead)."""
+        params = params or QueryParams()
+        l = params.search_list_size
+        r = self.config.num_neighbors
+        expected_visits = min(int(1.2 * l), max(self.num_live, 1))
+        return {
+            "expected_node_visits": expected_visits,
+            "expected_distance_comparisons": expected_visits * r,
+            "expected_full_precision_comparisons": params.rescore
+            + (0 if params.rescore == 0 else 10),
+            "estimated_rows": max(self.num_live // 100, 1),
+        }
+
     def _needs_rescore(self, params: QueryParams) -> bool:
         """SBQ always rescopes when enabled; plain storage only when the
         index truncates dims (amgettuple, scan.rs:370-405)."""
@@ -564,6 +601,7 @@ class DiskannIndex:
                     f"checkpoint version {version} is newer than supported "
                     f"{CHECKPOINT_VERSION}"
                 )
+            z = _migrate_checkpoint(dict(z), version)
             config = IndexConfig.from_dict(
                 json.loads(bytes(z["config"]).decode())
             )
@@ -627,7 +665,29 @@ class SearchIterator:
         self._buffer: list[tuple[float, int]] = []  # exact-dist min-heap
         self._use_exact = index._needs_rescore(params)
         self._qv = None
+        # Welford stats over rescore-distance spread (StreamingStats,
+        # scan.rs:119-160) — observability parity with amendscan's dump.
+        self.stats_count = 0
+        self.stats_mean = 0.0
+        self.stats_m2 = 0.0
+        self.max_distance = 0.0
         self._refill_pending()
+
+    def _update_streaming_stats(self, distance: float) -> None:
+        diff = distance - self.max_distance
+        self.max_distance = max(self.max_distance, distance)
+        if diff == 0.0:
+            return
+        self.stats_count += 1
+        delta = diff - self.stats_mean
+        self.stats_mean += delta / self.stats_count
+        self.stats_m2 += delta * (diff - self.stats_mean)
+
+    @property
+    def stats_variance(self) -> float:
+        if self.stats_count < 2:
+            return 0.0
+        return self.stats_m2 / (self.stats_count - 1)
 
     def _refill_pending(self) -> None:
         """Run (or re-run, with doubled L) the beam search."""
@@ -688,7 +748,10 @@ class SearchIterator:
             nid, approx = self._pending.pop(0)
             if nid in self._returned:
                 continue
-            heapq.heappush(self._buffer, (self._exact(nid, approx), nid))
+            exact = self._exact(nid, approx)
+            if len(self._buffer) > 1:
+                self._update_streaming_stats(exact)
+            heapq.heappush(self._buffer, (exact, nid))
         if not self._buffer:
             raise StopIteration
         d, nid = heapq.heappop(self._buffer)
@@ -849,6 +912,27 @@ def _add_ingest_jit(
             )
         )
     return arrays
+
+
+# Checkpoint format migrations, keyed by source version: each hook upgrades
+# a loaded checkpoint dict one version forward.  The analog of the
+# reference's transparent meta-page V1/V2 -> V3 migration on fetch
+# (meta_page.rs:399-419) and its SQL upgrade-script chain.
+_CHECKPOINT_MIGRATIONS: dict = {
+    # e.g. 1: _migrate_v1_to_v2,
+}
+
+
+def _migrate_checkpoint(z: dict, version: int) -> dict:
+    while version < CHECKPOINT_VERSION:
+        migrate = _CHECKPOINT_MIGRATIONS.get(version)
+        if migrate is None:
+            raise ValueError(
+                f"no migration path from checkpoint version {version}"
+            )
+        z = migrate(z)
+        version += 1
+    return z
 
 
 def _empty_stats(dims: int) -> sbq.SbqStats:
