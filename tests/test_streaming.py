@@ -1,0 +1,85 @@
+"""Streaming workload tests.
+
+The analog of the reference's Python multi-process concurrency suite
+(reference: pgvectorscale tests/test_concurrent_inserts.py — concurrent
+insert races, mixed insert+query workloads).  This framework's concurrency
+model is single-writer batched (documented stronger-or-equal to the
+reference's per-index advisory lock, ports.rs:160-171), so the equivalent
+coverage is interleaved add/search/delete consistency.
+"""
+
+import numpy as np
+import pytest
+
+from pgvectorscale_tpu import DiskannIndex, DistanceType, IndexConfig, QueryParams
+
+
+def test_mixed_insert_query_delete_stream(rng):
+    d = 32
+    basis = rng.standard_normal((16, d)).astype(np.float32)
+
+    def make(n):
+        return rng.standard_normal((n, 16)).astype(np.float32) @ basis
+
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=16,
+        search_list_size=32,
+    )
+    index = DiskannIndex.build(make(200), config)
+    params = QueryParams(search_list_size=32, rescore=20)
+
+    all_vectors = [np.asarray(index.arrays.vectors[:200])]
+    deleted: set[int] = set()
+    for step in range(6):
+        batch = make(50)
+        new_ids = index.add(batch)
+        all_vectors.append(np.asarray(index.arrays.vectors[new_ids]))
+
+        # Fresh inserts are immediately searchable (issue #193 analog:
+        # inserts visible to subsequent scans).
+        ids, _ = index.search(batch[:5], k=1)
+        found = set(int(i) for i in ids[:, 0])
+        assert found <= set(new_ids.tolist()) | set(range(index.count))
+
+        if step % 2 == 1:
+            victims = rng.choice(
+                [i for i in range(index.count) if i not in deleted],
+                size=20,
+                replace=False,
+            ).astype(np.int32)
+            index.delete(victims)
+            deleted.update(int(v) for v in victims)
+            ids, _ = index.search(make(10), k=10)
+            live = set(int(i) for row in ids for i in row if i >= 0)
+            assert not (live & deleted), "tombstoned rows leaked into results"
+
+    assert index.count == 200 + 6 * 50
+    assert index.num_deleted == len(deleted)
+
+    # Every live row remains reachable through the index.
+    from pgvectorscale_tpu.debug import count_reachable_nodes
+
+    assert count_reachable_nodes(index) == index.count
+
+
+def test_add_then_compact_then_add(rng):
+    d = 24
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=12,
+        search_list_size=24,
+    )
+    v1 = rng.standard_normal((150, d)).astype(np.float32)
+    index = DiskannIndex.build(v1, config)
+    index.delete(np.arange(0, 150, 3, dtype=np.int32))
+    index = index.compact()
+    assert index.num_deleted == 0
+
+    v2 = rng.standard_normal((60, d)).astype(np.float32)
+    new_ids = index.add(v2)
+    ids, dists = index.search(v2[:3], k=1)
+    assert (dists[:, 0] < 1e-5).all()
+    assert set(int(i) for i in ids[:, 0]) <= set(new_ids.tolist())
