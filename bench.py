@@ -59,20 +59,7 @@ def main():
     build_s = time.perf_counter() - t0
     build_vps = n / build_s
 
-    params = QueryParams(search_list_size=100, rescore=50)
-
-    # Warmup (compile) then timed runs; median defends against the high
-    # run-to-run variance of shared/tunneled TPU access.
-    ids, dists = index.search(queries, k=k, params=params)
-    samples = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        ids, dists = index.search(queries, k=k, params=params)
-        samples.append(time.perf_counter() - t0)
-    elapsed = sorted(samples)[len(samples) // 2]
-    qps = q / elapsed
-
-    # Recall vs exact ground truth (on device).
+    # Exact ground truth (on device) for recall measurement.
     dev_vectors = preprocess_cosine(jnp.asarray(vectors))
     dev_queries = preprocess_cosine(jnp.asarray(queries))
     valid = jnp.ones((n,), dtype=bool)
@@ -81,20 +68,62 @@ def main():
         distance_type=DistanceType.COSINE,
     )
     gt_ids = np.asarray(gt_ids)
-    hits = sum(
-        len(set(gt_ids[r]) & set(int(i) for i in ids[r] if i >= 0))
-        for r in range(q)
+
+    def measure(params):
+        index.search(queries, k=k, params=params)  # warmup/compile
+        samples = []
+        ids = None
+        # Median-of-5 defends against tunneled-TPU run-to-run variance.
+        for _ in range(5):
+            t0 = time.perf_counter()
+            ids, _ = index.search(queries, k=k, params=params)
+            samples.append(time.perf_counter() - t0)
+        qps = q / sorted(samples)[len(samples) // 2]
+        hits = sum(
+            len(set(gt_ids[r]) & set(int(i) for i in ids[r] if i >= 0))
+            for r in range(q)
+        )
+        return qps, hits / (q * k)
+
+    # Operating-point sweep: report the fastest point achieving >= 0.9
+    # recall@10 (the reference's headline is QPS at high recall;
+    # README.md:17-21).  Reference defaults (L=100, rescore=50) included.
+    sweep = [
+        QueryParams(search_list_size=100, rescore=50),
+        QueryParams(search_list_size=100, rescore=200),
+        QueryParams(search_list_size=200, rescore=400),
+        QueryParams(search_list_size=300, rescore=700),
+    ]
+    points = []
+    for params in sweep:
+        qps, recall = measure(params)
+        points.append(
+            {
+                "L": params.search_list_size,
+                "rescore": params.rescore,
+                "qps": round(qps, 1),
+                "recall": round(recall, 4),
+            }
+        )
+        if recall >= 0.95:
+            break
+    passing = [p for p in points if p["recall"] >= 0.9]
+    best = (
+        max(passing, key=lambda p: p["qps"])
+        if passing
+        else max(points, key=lambda p: p["recall"])
     )
-    recall = hits / (q * k)
 
     print(
         json.dumps(
             {
-                "metric": "qps@recall",
-                "value": round(qps, 1),
+                "metric": "qps@recall>=0.9",
+                "value": best["qps"],
                 "unit": "queries/sec",
-                "vs_baseline": round(qps / 10_000.0, 3),
-                "recall_at_10": round(recall, 4),
+                "vs_baseline": round(best["qps"] / 10_000.0, 3),
+                "recall_at_10": best["recall"],
+                "operating_point": {"L": best["L"], "rescore": best["rescore"]},
+                "sweep": points,
                 "build_vectors_per_sec": round(build_vps, 1),
                 "n": n,
                 "dims": d,

@@ -446,6 +446,12 @@ class DiskannIndex:
             ql = jnp.zeros((q, 0), dtype=jnp.int32)
 
         l = max(params.search_list_size, k)
+        use_exact = self._needs_rescore(params)
+        # The beam must be wide enough to hold the rescore window: the
+        # reference's candidate list is unbounded, so resort can pull past
+        # the search list size (scan.rs:244-305).  The VISIT budget stays
+        # keyed to the user's L — extra width only widens the merge.
+        beam_width = max(l, params.rescore + k if use_exact else 0)
         ids, dists, search_res = _search_jit(
             self.arrays,
             self.sbq_stats,
@@ -453,10 +459,10 @@ class DiskannIndex:
             ql,
             config=config,
             k=k,
-            search_list_size=l,
+            search_list_size=beam_width,
             max_iters=_query_max_iters(l),
             rescore_n=params.rescore,
-            use_exact=self._needs_rescore(params),
+            use_exact=use_exact,
             filtered=filtered,
             expand_factor=min(params.expand, l),
         )

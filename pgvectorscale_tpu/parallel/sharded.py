@@ -290,12 +290,14 @@ class ShardedDiskannIndex:
             config.uses_sbq
             or config.dims_to_index < config.num_dimensions
         )
+        # Beam wide enough for the rescore window (see DiskannIndex.search).
+        beam_width = max(l, params.rescore + k if use_exact else 0)
         ids, dists = _sharded_search_step(
             self.stacked,
             q_indexed if not use_exact else qv,
             qc,
             k=k,
-            search_list_size=l,
+            search_list_size=beam_width,
             max_iters=_query_max_iters(l),
             distance_type=config.distance_type,
             use_codes=config.uses_sbq,
