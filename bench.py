@@ -91,6 +91,7 @@ def main():
     sweep = [
         QueryParams(search_list_size=100, rescore=50),
         QueryParams(search_list_size=100, rescore=200),
+        QueryParams(search_list_size=150, rescore=300),
         QueryParams(search_list_size=200, rescore=400),
         QueryParams(search_list_size=300, rescore=700),
     ]

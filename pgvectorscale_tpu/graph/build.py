@@ -698,22 +698,83 @@ def _prune_rows_core(
     return arrays._replace(adjacency=adjacency)
 
 
+@functools.partial(jax.jit, static_argnames=("num_neighbors",))
+def _over_rows_device(
+    arrays: GraphArrays, *, num_neighbors: int
+) -> tuple[jax.Array, jax.Array]:
+    """Device-side over-degree row selection: returns (row ids ascending
+    with _I32_MAX padding, count).  Only the scalar count crosses to the
+    host — pulling the whole adjacency is prohibitive on tunneled TPUs
+    (device->host measured ~0.75 MB/s)."""
+    cap = arrays.capacity
+    row = jnp.arange(cap, dtype=jnp.int32)
+    in_graph = row < arrays.count
+    deg = jnp.sum(arrays.adjacency != INVALID_ID, axis=1)
+    over = in_graph & (deg > num_neighbors)
+    order = lax.sort(jnp.where(over, row, _I32_MAX))
+    return order, jnp.sum(over, dtype=jnp.int32)
+
+
 def finalize(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
     """Final prune pass: trim every row with more than num_neighbors
     neighbors down to num_neighbors (finalize_index_build,
     build.rs:905-960), then repair any orphaned nodes."""
     config = ctx.config
-    adj_np = np.asarray(arrays.adjacency)
-    n = int(arrays.count)
-    deg = (adj_np[:n] != INVALID_ID).sum(axis=1)
-    over = np.nonzero(deg > config.num_neighbors)[0].astype(np.int32)
-    for i in range(0, len(over), PRUNE_BATCH):
-        batch = np.full(PRUNE_BATCH, INVALID_ID, dtype=np.int32)
-        take = over[i : i + PRUNE_BATCH]
-        batch[: len(take)] = take
-        inc = np.full((PRUNE_BATCH, 1), INVALID_ID, dtype=np.int32)
-        arrays = _prune_rows_batch(arrays, ctx, batch, inc)
+    order, count = _over_rows_device(
+        arrays, num_neighbors=config.num_neighbors
+    )
+    n_over = int(count)  # the only host transfer: one scalar
+    for i in range(0, n_over, PRUNE_BATCH):
+        chunk = order[i : i + PRUNE_BATCH]  # static slice, stays on device
+        batch = jnp.where(chunk == _I32_MAX, INVALID_ID, chunk)
+        if batch.shape[0] < PRUNE_BATCH:
+            batch = jnp.pad(
+                batch,
+                (0, PRUNE_BATCH - batch.shape[0]),
+                constant_values=INVALID_ID,
+            )
+        inc = jnp.full((PRUNE_BATCH, 1), INVALID_ID, dtype=jnp.int32)
+        arrays = _prune_rows_batch_jit(
+            arrays,
+            batch,
+            inc,
+            use_codes=config.uses_sbq,
+            code_bits=config.dims_to_index * config.bits_per_dimension,
+            distance_type=config.distance_type,
+            alphas=ctx.alphas,
+            num_neighbors=config.num_neighbors,
+            labeled=config.has_labels,
+        )
     return repair_orphans(arrays, ctx)
+
+
+@jax.jit
+def reachable_on_device(arrays: GraphArrays) -> jax.Array:
+    """bool[cap] reachability from the default start node, computed
+    entirely on device: each iteration propagates `seen` across every edge
+    with one scatter-max; converges in graph-diameter iterations."""
+    cap = arrays.capacity
+    row = jnp.arange(cap, dtype=jnp.int32)
+    in_graph = row < arrays.count
+    start = arrays.default_start
+    seen0 = jnp.zeros((cap,), jnp.bool_).at[jnp.maximum(start, 0)].set(
+        start >= 0
+    )
+    targets = jnp.where(
+        arrays.adjacency >= 0, arrays.adjacency, cap
+    ).reshape(-1)
+
+    def body(state):
+        seen, _ = state
+        contrib = (seen & in_graph)[:, None] & (arrays.adjacency != INVALID_ID)
+        new_seen = seen.at[targets].max(contrib.reshape(-1), mode="drop")
+        return new_seen, jnp.any(new_seen != seen)
+
+    def cond(state):
+        return state[1]
+
+    seen, _ = lax.while_loop(cond, body, (seen0, jnp.asarray(True)))
+    return seen & in_graph
 
 
 def reachable_mask(adj: np.ndarray, start: int, n: int) -> np.ndarray:
@@ -754,6 +815,14 @@ def repair_orphans(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
     start = int(arrays.default_start)
     if start < 0:
         return arrays
+
+    # Fast path: check reachability ON DEVICE — downloading the adjacency
+    # is prohibitive over tunneled TPU links, and orphans are rare.
+    seen = reachable_on_device(arrays)
+    n_orphans = int(jnp.sum(~seen[:n]))  # one scalar transfer
+    if n_orphans == 0:
+        return arrays
+
     adj = np.ascontiguousarray(np.asarray(arrays.adjacency[:n]), dtype=np.int32).copy()
 
     # Native fast path (C++ host runtime) — required at 50M scale.
