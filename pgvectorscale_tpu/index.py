@@ -601,6 +601,10 @@ class DiskannIndex:
         with np.load(path) as z:
             if int(z["magic"]) != CHECKPOINT_MAGIC:
                 raise ValueError("not a pgvectorscale_tpu checkpoint")
+            if "sharded" in z and int(z["sharded"]) == 1:
+                raise ValueError(
+                    "sharded checkpoint; use ShardedDiskannIndex.load"
+                )
             version = int(z["version"])
             if version > CHECKPOINT_VERSION:
                 raise ValueError(

@@ -350,6 +350,64 @@ class ShardedDiskannIndex:
             sub.delete_external(ext_ids)
         self._restack(shards)
 
+    # ------------------------------------------------------------------
+    # Persistence (one file holding every shard + shared state)
+    # ------------------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        host = to_host(self.stacked)
+        payload = {
+            "magic": np.int64(CHECKPOINT_MAGIC),
+            "version": np.int64(CHECKPOINT_VERSION),
+            "sharded": np.int64(1),
+            "num_shards": np.int64(self.num_shards),
+            "config": np.frombuffer(
+                json.dumps(self.config.to_dict()).encode(), dtype=np.uint8
+            ),
+            "sbq_count": np.asarray(self.sbq_stats.count),
+            "sbq_mean": np.asarray(self.sbq_stats.mean),
+            "sbq_m2": np.asarray(self.sbq_stats.m2),
+        }
+        for name, leaf in zip(type(host)._fields, host):
+            payload[f"stacked_{name}"] = leaf
+        for s, ext in enumerate(self.external_ids):
+            payload[f"ext_{s}"] = ext
+        np.savez_compressed(path, **payload)
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh) -> "ShardedDiskannIndex":
+        from ..store import HostArrays
+
+        with np.load(path) as z:
+            if int(z["magic"]) != CHECKPOINT_MAGIC:
+                raise ValueError("not a pgvectorscale_tpu checkpoint")
+            if int(z.get("sharded", 0)) != 1:
+                raise ValueError(
+                    "not a sharded checkpoint; use DiskannIndex.load"
+                )
+            if int(z["version"]) > CHECKPOINT_VERSION:
+                raise ValueError("checkpoint version newer than supported")
+            p = int(z["num_shards"])
+            if mesh.devices.size != p:
+                raise ValueError(
+                    f"checkpoint has {p} shards; mesh has "
+                    f"{mesh.devices.size} devices"
+                )
+            config = IndexConfig.from_dict(
+                json.loads(bytes(z["config"]).decode())
+            )
+            host = HostArrays(
+                *[z[f"stacked_{name}"] for name in HostArrays._fields]
+            )
+            stats = sbq.SbqStats(
+                count=jnp.asarray(z["sbq_count"]),
+                mean=jnp.asarray(z["sbq_mean"]),
+                m2=jnp.asarray(z["sbq_m2"]),
+            )
+            ext = [z[f"ext_{s}"].copy() for s in range(p)]
+        stacked = _shard_leading(from_host(host), mesh)
+        return cls(config, mesh, stacked, stats, ext)
+
     def _unstack(self) -> list[DiskannIndex]:
         host = to_host(self.stacked)
         shards = []

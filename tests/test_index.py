@@ -388,6 +388,32 @@ def test_duplicate_vectors_stay_connected(rng):
     assert seen == set(range(120))
 
 
+def test_capacity_growth_on_add(rng):
+    """Adding past the allocated capacity grows the store (the relation
+    extension analog, page.rs:108-245) without losing the graph."""
+    d = 16
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=10,
+        search_list_size=16,
+    )
+    vectors, queries = _lowrank(rng, 1100, 10, d, rank=8)
+    index = DiskannIndex.build(vectors[:900], config)
+    cap0 = index.arrays.capacity
+    assert cap0 == 1024
+    index.add(vectors[900:])  # crosses the 1024 boundary
+    assert index.arrays.capacity > cap0
+    assert index.count == 1100
+    ids, dists = index.search(vectors[1050], k=1)
+    assert ids[0, 0] == 1050 and dists[0, 0] < 1e-5
+    recall = _recall_at_k(
+        index, vectors, queries, 10, DistanceType.L2,
+        params=QueryParams(search_list_size=32, rescore=100),
+    )
+    assert recall >= 0.9
+
+
 def test_external_ids(rng):
     n, d = 100, 16
     vectors = rng.standard_normal((n, d)).astype(np.float32)

@@ -69,6 +69,35 @@ def test_sharded_recall_matches_single_index(rng):
     assert np.all(np.diff(dists, axis=1) >= -1e-6)
 
 
+def test_sharded_save_load_roundtrip(tmp_path, rng):
+    n, d = 640, 32
+    vectors, queries = _lowrank(rng, n, 8, d)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=12,
+        search_list_size=24,
+    )
+    mesh = _mesh()
+    index = ShardedDiskannIndex.build(vectors, config, mesh)
+    path = str(tmp_path / "sharded.npz")
+    index.save(path)
+    loaded = ShardedDiskannIndex.load(path, mesh)
+    assert loaded.count == n
+    ids_a, d_a = index.search(queries, k=5)
+    ids_b, d_b = loaded.search(queries, k=5)
+    np.testing.assert_array_equal(
+        index.to_external(ids_a), loaded.to_external(ids_b)
+    )
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
+
+    # A sharded checkpoint refuses the single-device loader and vice versa.
+    from pgvectorscale_tpu import DiskannIndex
+
+    with pytest.raises(ValueError):
+        DiskannIndex.load(path)
+
+
 def test_sharded_add_and_delete(rng):
     n, d = 800, 32
     vectors, queries = _lowrank(rng, n + 100, 0, d)
