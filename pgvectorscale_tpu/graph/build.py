@@ -260,6 +260,7 @@ def insert_wave(
     *,
     search_list_size: Optional[int] = None,
     n_existing: Optional[int] = None,
+    include_existing: bool = False,
 ) -> GraphArrays:
     """Insert a wave of already-stored nodes into the graph — ONE fused
     device step (search/brute candidates + prune + adjacency write +
@@ -273,6 +274,10 @@ def insert_wave(
     ``n_existing``: number of rows already in the graph (ids < n_existing
     are searchable).  When the graph is small (<= BRUTE_CANDIDATE_THRESHOLD)
     candidates come from an exact brute-force scan instead of beam search.
+
+    ``include_existing``: merge each node's current neighbors into the
+    candidate set — used by refinement passes, where every node re-inserts
+    against the finished graph and must not lose good existing edges.
     """
     config = ctx.config
     b = len(node_ids_np)
@@ -296,6 +301,7 @@ def insert_wave(
         alphas=ctx.alphas,
         num_neighbors=config.num_neighbors,
         labeled=config.has_labels,
+        include_existing=include_existing,
     )
 
 
@@ -312,6 +318,7 @@ def insert_wave(
         "alphas",
         "num_neighbors",
         "labeled",
+        "include_existing",
     ),
 )
 def _wave_step_jit(
@@ -329,6 +336,7 @@ def _wave_step_jit(
     alphas: tuple,
     num_neighbors: int,
     labeled: bool,
+    include_existing: bool = False,
 ) -> GraphArrays:
     """The fused wave step.  One dispatch per wave keeps the build off the
     host (the per-op eager path pays tunnel latency per call)."""
@@ -397,6 +405,36 @@ def _wave_step_jit(
                 [cand_dists, res_f.hist_dists], axis=1
             )
             cand_ids, cand_dists = _dedup_candidates(cand_ids, cand_dists)
+
+    if include_existing:
+        # Refinement: keep current neighbors in contention so a re-insert
+        # never loses good edges.
+        existing = arrays.adjacency[safe_ids]
+        if use_codes:
+            from ..ops.hamming import hamming_gather
+
+            ex_d = hamming_gather(
+                query_codes, arrays.codes, existing
+            ).astype(jnp.float32)
+        else:
+            gathered = arrays.vectors[jnp.maximum(existing, 0)]
+            if distance_type == DistanceType.L2:
+                diff = gathered - query_vecs[:, None, :]
+                ex_d = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
+            else:
+                dots = jnp.einsum(
+                    "brd,bd->br", gathered, query_vecs,
+                    preferred_element_type=jnp.float32,
+                )
+                ex_d = (
+                    -dots
+                    if distance_type == DistanceType.INNER_PRODUCT
+                    else jnp.maximum(1.0 - dots, 0.0)
+                )
+        ex_d = jnp.where(existing == INVALID_ID, jnp.inf, ex_d)
+        cand_ids = jnp.concatenate([cand_ids, existing], axis=1)
+        cand_dists = jnp.concatenate([cand_dists, ex_d], axis=1)
+        cand_ids, cand_dists = _dedup_candidates(cand_ids, cand_dists)
 
     # --- prune into neighbor lists ---
     nbr_ids, _ = prune_candidate_sets(

@@ -195,6 +195,7 @@ class DiskannIndex:
         max_wave: int = 4096,
         sbq_stats: Optional[sbq.SbqStats] = None,
         progress_callback=None,
+        refine_passes: int = 0,
     ) -> "DiskannIndex":
         """Build an index over ``vectors`` [N, D] (N may be 0).
 
@@ -280,6 +281,13 @@ class DiskannIndex:
             if progress_callback:
                 progress_callback("finalizing graph", 0, n)
             index.arrays = finalize(index.arrays, index._ctx)
+            # Optional refinement: re-insert every node against the
+            # finished graph (keeping existing neighbors in contention) —
+            # the classic second Vamana pass; closes the graph-vs-quantizer
+            # recall gap at large N at the cost of ~1 extra build.
+            for _ in range(refine_passes):
+                index._refine_pass()
+                index.arrays = finalize(index.arrays, index._ctx)
             if progress_callback:
                 progress_callback("finalizing graph", n, n)
         write_stats.num_nodes = n
@@ -331,6 +339,27 @@ class DiskannIndex:
                 progress_callback(
                     "inserting tuples", done + pos, len(ids)
                 )
+        self.arrays = arrays
+
+    def _refine_pass(self, wave: int = 4096) -> None:
+        """One refinement sweep: every node re-searches the current graph
+        and re-prunes with candidates = search results ∪ current
+        neighbors."""
+        n = self.count
+        arrays = self.arrays
+        for off in range(0, n, wave):
+            ids = np.arange(off, min(off + wave, n), dtype=np.int32)
+            if len(ids) < wave:
+                ids = np.concatenate(
+                    [ids, np.full(wave - len(ids), INVALID_ID, np.int32)]
+                )
+            arrays = insert_wave(
+                arrays,
+                self._ctx,
+                ids,
+                n_existing=None,  # beam path against the full graph
+                include_existing=True,
+            )
         self.arrays = arrays
 
     # ------------------------------------------------------------------

@@ -414,6 +414,29 @@ def test_capacity_growth_on_add(rng):
     assert recall >= 0.9
 
 
+def test_refine_pass_preserves_quality(rng):
+    """refine_passes re-inserts every node against the finished graph
+    (classic second Vamana pass); must preserve reachability and not
+    degrade recall."""
+    n, d = 800, 64
+    vectors, queries = _lowrank(rng, n, 20, d)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.COSINE,
+        num_neighbors=20,
+        search_list_size=50,
+    )
+    base = DiskannIndex.build(vectors, config)
+    refined = DiskannIndex.build(vectors, config, refine_passes=1)
+
+    from pgvectorscale_tpu.debug import count_reachable_nodes
+
+    assert count_reachable_nodes(refined) == n
+    r0 = _recall_at_k(base, vectors, queries, 10, DistanceType.COSINE)
+    r1 = _recall_at_k(refined, vectors, queries, 10, DistanceType.COSINE)
+    assert r1 >= r0 - 0.03, f"refine degraded recall {r0} -> {r1}"
+
+
 def test_external_ids(rng):
     n, d = 100, 16
     vectors = rng.standard_normal((n, d)).astype(np.float32)
