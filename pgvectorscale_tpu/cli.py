@@ -53,7 +53,9 @@ def cmd_build(args) -> int:
         num_bits_per_dimension=args.num_bits,
     )
     t0 = time.perf_counter()
-    index = DiskannIndex.build(vectors, config)
+    index = DiskannIndex.build(
+        vectors, config, refine_passes=args.refine_passes
+    )
     dt = time.perf_counter() - t0
     index.save(args.output)
     print(
@@ -184,6 +186,8 @@ def main(argv=None) -> int:
     b.add_argument("--num-dimensions", type=int, default=0)
     b.add_argument("--num-bits", type=int, default=0)
     b.add_argument("--max-rows", type=int, default=None)
+    b.add_argument("--refine-passes", type=int, default=0,
+                   help="extra graph-refinement sweeps (quality vs time)")
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", help="query a saved index")

@@ -159,7 +159,17 @@ class DiskannIndex:
         self._ctx = BuildContext(config)
         # Stats plumbing (stats.rs analog): populated by build/search.
         self.build_stats = None  # stats.WriteStats after build()
-        self.last_search_stats = None  # stats.GreedySearchStats
+        self._last_search_res = None  # device-resident SearchResult
+
+    @property
+    def last_search_stats(self):
+        """Stats of the most recent search (GreedySearchStats analog) —
+        computed lazily so the search hot path does no extra transfers."""
+        if self._last_search_res is None:
+            return None
+        from .stats import GreedySearchStats
+
+        return GreedySearchStats.from_search_result(self._last_search_res)
 
     # ------------------------------------------------------------------
     # Introspection
@@ -496,11 +506,9 @@ class DiskannIndex:
             expand_factor=min(params.expand, l),
         )
 
-        from .stats import GreedySearchStats
-
-        self.last_search_stats = GreedySearchStats.from_search_result(
-            search_res
-        )
+        # Keep the raw result on device; stats transfer only on access
+        # (device->host pulls are expensive on tunneled TPUs).
+        self._last_search_res = search_res
         return np.asarray(ids), np.asarray(dists)
 
     def estimate_query_cost(
