@@ -31,6 +31,14 @@ def __getattr__(name):
         from . import index as _index
 
         return getattr(_index, name)
+    if name == "ShardedDiskannIndex":
+        from .parallel.sharded import ShardedDiskannIndex
+
+        return ShardedDiskannIndex
+    if name == "create_index":
+        from .models import create_index
+
+        return create_index
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __version__ = "0.1.0"
@@ -41,5 +49,7 @@ __all__ = [
     "IndexConfig",
     "QueryParams",
     "SearchIterator",
+    "ShardedDiskannIndex",
     "StorageLayout",
+    "create_index",
 ]
