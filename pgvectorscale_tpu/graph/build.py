@@ -473,19 +473,27 @@ def _wave_step_jit(
     rejected = (
         ~accepted & (edge_dst != INVALID_ID) & (edge_src != INVALID_ID)
     )
-    arrays = _overflow_prune(
-        arrays,
-        edge_dst,
-        edge_src,
-        rejected,
-        use_codes=use_codes,
-        code_bits=code_bits,
-        distance_type=distance_type,
-        alphas=alphas,
-        num_neighbors=num_neighbors,
-        labeled=labeled,
+
+    # Skip the overflow machinery entirely when nothing was rejected
+    # (typical for later waves) — lax.cond executes only one branch.
+    def do_prune(adj):
+        return _overflow_prune(
+            arrays._replace(adjacency=adj),
+            edge_dst,
+            edge_src,
+            rejected,
+            use_codes=use_codes,
+            code_bits=code_bits,
+            distance_type=distance_type,
+            alphas=alphas,
+            num_neighbors=num_neighbors,
+            labeled=labeled,
+        ).adjacency
+
+    adjacency = lax.cond(
+        jnp.any(rejected), do_prune, lambda adj: adj, arrays.adjacency
     )
-    return arrays
+    return arrays._replace(adjacency=adjacency)
 
 
 _I32_MAX = jnp.int32(2**31 - 1)
