@@ -20,11 +20,9 @@ from ..parallel.sharded import ShardedDiskannIndex
 def create_index(vectors, config, *, mesh=None, labels=None, **kw):
     """Build the right index family: sharded when a mesh is given."""
     if mesh is not None and mesh.devices.size > 1:
-        if labels is not None:
-            raise NotImplementedError(
-                "labeled sharded indexes are not supported yet"
-            )
-        return ShardedDiskannIndex.build(vectors, config, mesh, **kw)
+        return ShardedDiskannIndex.build(
+            vectors, config, mesh, labels=labels, **kw
+        )
     return DiskannIndex.build(vectors, config, labels=labels, **kw)
 
 

@@ -45,8 +45,9 @@ from ..config import (
     QueryParams,
 )
 from ..distance import preprocess_cosine
-from ..graph.search import beam_search
+from ..graph.search import beam_search, get_start_ids
 from ..index import DiskannIndex, _query_max_iters
+from ..labels import make_label_array, overlaps
 from ..ops import sbq
 from ..store import INVALID_ID, GraphArrays, from_host, to_host
 
@@ -55,6 +56,32 @@ def _stack_arrays(per_shard: list[GraphArrays]) -> GraphArrays:
     """Stack per-shard GraphArrays into leading-axis-P tensors (equal
     capacities required)."""
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *per_shard)
+
+
+def _pad_and_stack(shards: list, mesh: Mesh) -> GraphArrays:
+    """Equalize per-shard capacities and label-table sizes, then stack."""
+    from .. import store
+    from ..labels import LABEL_SENTINEL
+
+    cap = max(s.arrays.capacity for s in shards)
+    lt = max(s.arrays.label_start_keys.shape[0] for s in shards)
+    padded = []
+    for s in shards:
+        a = store.grow(s.arrays, cap) if s.arrays.capacity < cap else s.arrays
+        cur = a.label_start_keys.shape[0]
+        if cur < lt:
+            a = a._replace(
+                label_start_keys=jnp.pad(
+                    a.label_start_keys, (0, lt - cur),
+                    constant_values=int(LABEL_SENTINEL),
+                ),
+                label_start_ids=jnp.pad(
+                    a.label_start_ids, (0, lt - cur),
+                    constant_values=INVALID_ID,
+                ),
+            )
+        padded.append(a)
+    return _stack_arrays(padded)
 
 
 def _shard_leading(tree, mesh: Mesh):
@@ -78,12 +105,14 @@ def _shard_leading(tree, mesh: Mesh):
         "expand_factor",
         "rescore_n",
         "use_exact",
+        "filtered",
     ),
 )
 def _sharded_search_step(
     stacked: GraphArrays,  # leaves [P, ...]
     query_vecs: jax.Array,  # f32[Q, D] (replicated)
     query_codes: jax.Array,  # u32[Q, W]
+    query_labels: jax.Array,  # i32[Q, Lq] (Lq == 0 when unfiltered)
     *,
     k: int,
     search_list_size: int,
@@ -93,6 +122,7 @@ def _sharded_search_step(
     expand_factor: int,
     rescore_n: int,
     use_exact: bool,
+    filtered: bool,
 ) -> tuple[jax.Array, jax.Array]:
     """All-shard search + exact rescore + cross-shard top-k merge.
 
@@ -104,25 +134,28 @@ def _sharded_search_step(
     cap = stacked.adjacency.shape[1]
 
     def per_shard(arrays: GraphArrays):
-        starts = jnp.broadcast_to(
-            arrays.default_start[None, None], (q, 1)
-        ).astype(jnp.int32)
+        starts = get_start_ids(
+            arrays, query_labels if filtered else None, q
+        )
         res = beam_search(
             arrays,
             query_vecs,
             query_codes,
-            jnp.zeros((q, 0), jnp.int32),
+            query_labels,
             starts,
             search_list_size=search_list_size,
             max_iters=max_iters,
             distance_type=distance_type,
             use_codes=use_codes,
-            filtered=False,
+            filtered=filtered,
             expand_factor=expand_factor,
         )
         live = (res.beam_ids != INVALID_ID) & ~arrays.deleted[
             jnp.maximum(res.beam_ids, 0)
         ]
+        if filtered and query_labels.shape[-1] > 0:
+            node_l = arrays.node_labels[jnp.maximum(res.beam_ids, 0)]
+            live = live & overlaps(node_l, query_labels[:, None, :])
         d = jnp.where(live, res.beam_dists, jnp.inf)
         ids = jnp.where(live, res.beam_ids, INVALID_ID)
         d, ids = lax.sort((d, ids), dimension=1, num_keys=1)
@@ -205,18 +238,19 @@ class ShardedDiskannIndex:
         config: IndexConfig,
         mesh: Mesh,
         *,
+        labels: Optional[Sequence[Optional[Iterable[int]]]] = None,
         external_ids: Optional[np.ndarray] = None,
     ) -> "ShardedDiskannIndex":
-        if config.has_labels:
-            raise NotImplementedError(
-                "label-filtered search on the sharded store lands with the "
-                "sharded filtered build; use DiskannIndex for labeled data"
-            )
         vectors = np.asarray(vectors, dtype=np.float32)
         n = vectors.shape[0]
         p = mesh.devices.size
         if external_ids is None:
             external_ids = np.arange(n, dtype=np.int64)
+        if labels is not None and not config.has_labels:
+            raise ValueError(
+                "labels passed but config.max_labels_per_vector == 0"
+            )
+        labels_list = list(labels) if labels is not None else None
 
         # Global quantizer training (one pass; shards share the stats).
         dev = jnp.asarray(vectors)
@@ -228,7 +262,9 @@ class ShardedDiskannIndex:
             else None
         )
 
-        # Round-robin partition, per-shard local builds.
+        # Round-robin partition, per-shard local builds.  Round-robin keeps
+        # every label class represented in every shard, so per-shard label
+        # start nodes stay meaningful.
         shards = []
         ext = []
         for s in range(p):
@@ -236,20 +272,18 @@ class ShardedDiskannIndex:
             sub = DiskannIndex.build(
                 vectors[rows],
                 config,
+                labels=(
+                    [labels_list[r] for r in rows]
+                    if labels_list is not None
+                    else None
+                ),
                 external_ids=external_ids[rows],
                 sbq_stats=stats,
             )
             shards.append(sub)
             ext.append(sub.external_ids)
 
-        cap = max(s.arrays.capacity for s in shards)
-        from .. import store
-
-        padded = [
-            store.grow(s.arrays, cap) if s.arrays.capacity < cap else s.arrays
-            for s in shards
-        ]
-        stacked = _shard_leading(_stack_arrays(padded), mesh)
+        stacked = _shard_leading(_pad_and_stack(shards, mesh), mesh)
         if stats is None:
             from ..index import _empty_stats
 
@@ -263,6 +297,9 @@ class ShardedDiskannIndex:
         queries: np.ndarray,
         k: int,
         params: Optional[QueryParams] = None,
+        *,
+        query_labels: Optional[Sequence[Optional[Iterable[int]]]] = None,
+        max_label_width: Optional[int] = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched top-k over all shards.  Returns (global slot ids, dists);
         map ids with ``to_external``."""
@@ -285,6 +322,13 @@ class ShardedDiskannIndex:
         else:
             qc = jnp.zeros((queries.shape[0], 0), dtype=jnp.uint32)
 
+        filtered = query_labels is not None
+        if filtered:
+            width = max_label_width or config.max_labels_per_vector
+            ql = jnp.asarray(make_label_array(list(query_labels), width))
+        else:
+            ql = jnp.zeros((queries.shape[0], 0), dtype=jnp.int32)
+
         l = max(params.search_list_size, k)
         use_exact = params.rescore > 0 and (
             config.uses_sbq
@@ -296,6 +340,7 @@ class ShardedDiskannIndex:
             self.stacked,
             q_indexed if not use_exact else qv,
             qc,
+            ql,
             k=k,
             search_list_size=beam_width,
             max_iters=_query_max_iters(l),
@@ -304,6 +349,7 @@ class ShardedDiskannIndex:
             expand_factor=min(params.expand, l),
             rescore_n=params.rescore,
             use_exact=use_exact,
+            filtered=filtered,
         )
         return np.asarray(ids), np.asarray(dists)
 
@@ -321,7 +367,11 @@ class ShardedDiskannIndex:
     # ------------------------------------------------------------------
 
     def add(
-        self, vectors: np.ndarray, external_ids: Optional[np.ndarray] = None
+        self,
+        vectors: np.ndarray,
+        external_ids: Optional[np.ndarray] = None,
+        *,
+        labels: Optional[Sequence[Optional[Iterable[int]]]] = None,
     ) -> None:
         """Round-robin insert into shards (single-shard aminsert path per
         shard).  Rebuilds the stacked tensors afterwards."""
@@ -335,12 +385,21 @@ class ShardedDiskannIndex:
                 default=0,
             )
             external_ids = np.arange(base, base + m, dtype=np.int64)
+        labels_list = list(labels) if labels is not None else None
         p = self.num_shards
         shards = self._unstack()
         for j, sub in enumerate(shards):
             rows = np.arange((j - self._next_shard) % p, m, p)
             if len(rows):
-                sub.add(vectors[rows], external_ids=external_ids[rows])
+                sub.add(
+                    vectors[rows],
+                    external_ids=external_ids[rows],
+                    labels=(
+                        [labels_list[r] for r in rows]
+                        if labels_list is not None
+                        else None
+                    ),
+                )
         self._next_shard = (self._next_shard + m) % p
         self._restack(shards)
 
@@ -423,12 +482,5 @@ class ShardedDiskannIndex:
         return shards
 
     def _restack(self, shards: list[DiskannIndex]) -> None:
-        from .. import store
-
-        cap = max(s.arrays.capacity for s in shards)
-        padded = [
-            store.grow(s.arrays, cap) if s.arrays.capacity < cap else s.arrays
-            for s in shards
-        ]
-        self.stacked = _shard_leading(_stack_arrays(padded), self.mesh)
+        self.stacked = _shard_leading(_pad_and_stack(shards, self.mesh), self.mesh)
         self.external_ids = [s.external_ids for s in shards]

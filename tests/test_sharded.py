@@ -98,6 +98,50 @@ def test_sharded_save_load_roundtrip(tmp_path, rng):
         DiskannIndex.load(path)
 
 
+def test_sharded_labeled_filtered_search(rng):
+    """Label-filtered search over the sharded store: results satisfy the
+    filter, filtered recall matches filtered brute force, and per-shard
+    label start nodes cover every class (round-robin keeps classes in all
+    shards)."""
+    n, d, k = 960, 64, 10
+    vectors, queries = _lowrank(rng, n, 15, d)
+    labels = [[int(i % 4)] for i in range(n)]
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.COSINE,
+        num_neighbors=16,
+        search_list_size=40,
+        max_labels_per_vector=2,
+    )
+    index = ShardedDiskannIndex.build(vectors, config, _mesh(), labels=labels)
+    target = 2
+    ids, _ = index.search(
+        queries, k=k, query_labels=[[target]] * len(queries)
+    )
+    ext = index.to_external(ids)
+    for row in ext:
+        for g in row:
+            if g >= 0:
+                assert g % 4 == target
+
+    dv = preprocess_cosine(jnp.asarray(vectors))
+    dq = preprocess_cosine(jnp.asarray(queries))
+    valid = jnp.asarray(np.arange(n) % 4 == target)
+    gt, _ = brute_force_search(
+        dq, dv, valid, k=k, distance_type=DistanceType.COSINE
+    )
+    gt = np.asarray(gt)
+    hits = sum(
+        len(set(gt[r]) & set(int(g) for g in ext[r] if g >= 0))
+        for r in range(len(queries))
+    )
+    assert hits / (len(queries) * k) >= 0.9
+
+    # Unfiltered search on the labeled sharded index still works.
+    ids2, _ = index.search(queries, k=k)
+    assert (index.to_external(ids2)[:, 0] >= 0).all()
+
+
 def test_sharded_add_and_delete(rng):
     n, d = 800, 32
     vectors, queries = _lowrank(rng, n + 100, 0, d)
