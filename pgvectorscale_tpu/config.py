@@ -62,8 +62,10 @@ DEFAULT_QUERY_RESCORE = 50  # guc.rs:4 (0 disables)
 SBQ_BITS_THRESHOLD_DIM = 900  # meta_page.rs: 2 bits if dims < 900 else 1
 
 # Checkpoint format version (analog of the meta-page version field,
-# meta_page.rs:22-23).
-CHECKPOINT_VERSION = 1
+# meta_page.rs:22-23).  History:
+#   1 — round-1 format (f32 vectors only)
+#   2 — config gains vector_dtype; bf16 vectors stored as uint16 bit views
+CHECKPOINT_VERSION = 2
 CHECKPOINT_MAGIC = 0x2DD17A55  # arbitrary magic for our own format
 
 
@@ -101,6 +103,14 @@ class IndexConfig:
     num_dimensions_to_index: int = 0
     num_bits_per_dimension: int = 0
     max_labels_per_vector: int = 0
+    # Full-precision tier for the stored vectors (the rescore/heap analog,
+    # table_slot.rs:13-53).  TPU-only knob with no reference analog — the
+    # reference keeps full vectors on the disk-resident heap; here they are
+    # HBM-resident and the tier controls their footprint:
+    #   "f32"  — exact full-precision rescore (default)
+    #   "bf16" — halves HBM (the MXU-native reduced precision); rescore
+    #            error ~1e-3 relative, which reorders only near-ties
+    vector_dtype: str = "f32"
 
     def __post_init__(self):
         if self.num_dimensions <= 0:
@@ -151,6 +161,8 @@ class IndexConfig:
                 f"plain storage supports at most {MAX_DIMENSION_NO_SBQ} "
                 "dimensions"
             )
+        if self.vector_dtype not in ("f32", "bf16"):
+            raise ValueError("vector_dtype must be 'f32' or 'bf16'")
 
     # ------------------------------------------------------------------
     # Derived values (resolution of 0-sentinels, analog of
@@ -186,6 +198,12 @@ class IndexConfig:
     @property
     def has_labels(self) -> bool:
         return self.max_labels_per_vector > 0
+
+    @property
+    def vector_jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.vector_dtype == "bf16" else jnp.float32
 
     @property
     def uses_sbq(self) -> bool:

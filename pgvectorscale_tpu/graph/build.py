@@ -31,6 +31,7 @@ num_neighbors with one last prune pass — the analog of
 from __future__ import annotations
 
 import functools
+import logging
 import math
 from typing import Optional
 
@@ -48,6 +49,8 @@ from .prune import (
     unpack_code_bits,
 )
 from .search import beam_search, get_start_ids
+
+logger = logging.getLogger("pgvectorscale_tpu")
 
 # How many overflowing rows one re-prune batch handles (finalize path).
 PRUNE_BATCH = 8192
@@ -76,25 +79,28 @@ def candidate_pair_distances(
     use_codes: bool,
     code_bits: int,
     distance_type: DistanceType,
+    trunc_dims: int,
 ) -> jax.Array:
     """Pairwise distances among each row's candidates, [B, C, C] f32.
 
     For SBQ this is Hamming computed on the MXU via the popcount-dot
     identity (prune uses the storage's node-to-node measure — Hamming for
-    SbqSpeedupStorage, sbq/mod.rs:161-190)."""
+    SbqSpeedupStorage, sbq/mod.rs:161-190).  Plain storage uses the indexed
+    prefix (``trunc_dims``) — the reference's plain node stores only the
+    index slice (build.rs:548)."""
     safe = jnp.maximum(cand_ids, 0)
     if use_codes:
         codes = arrays.codes[safe]  # [B, C, W]
         bits = unpack_code_bits(codes, code_bits)
         return pairwise_hamming_mxu(bits)
-    vecs = arrays.vectors[safe]
+    vecs = arrays.vectors[safe][..., :trunc_dims]
     return pairwise_distance_matrix_full(vecs, distance_type)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("use_codes", "code_bits", "distance_type", "alphas",
-                     "num_neighbors", "labeled"),
+                     "num_neighbors", "labeled", "trunc_dims"),
 )
 def prune_candidate_sets(
     arrays: GraphArrays,
@@ -109,6 +115,7 @@ def prune_candidate_sets(
     alphas: tuple,
     num_neighbors: int,
     labeled: bool,
+    trunc_dims: int,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched add_neighbors-style prune: candidates -> neighbor lists."""
     pair = candidate_pair_distances(
@@ -117,6 +124,7 @@ def prune_candidate_sets(
         use_codes=use_codes,
         code_bits=code_bits,
         distance_type=distance_type,
+        trunc_dims=trunc_dims,
     )
     if labeled:
         cand_labels = arrays.node_labels[jnp.maximum(cand_ids, 0)]
@@ -236,23 +244,6 @@ def _alpha_schedule(max_alpha: float):
     return alpha_schedule(max_alpha)
 
 
-def wave_schedule(n: int, initial: int = 64, max_wave: int = 4096) -> list:
-    """Geometric wave sizes: 1 seed node, then doubling waves.
-
-    The single seed node is the analog of the first inserted vector
-    becoming the default start node (graph/mod.rs:490-533)."""
-    waves = []
-    done = 0
-    size = initial
-    while done < n:
-        take = min(size, n - done)
-        waves.append((done, take))
-        done += take
-        if size < max_wave:
-            size = min(size * 2, max_wave)
-    return waves
-
-
 def insert_wave(
     arrays: GraphArrays,
     ctx: BuildContext,
@@ -302,6 +293,7 @@ def insert_wave(
         num_neighbors=config.num_neighbors,
         labeled=config.has_labels,
         include_existing=include_existing,
+        trunc_dims=config.dims_to_index,
     )
 
 
@@ -319,6 +311,7 @@ def insert_wave(
         "num_neighbors",
         "labeled",
         "include_existing",
+        "trunc_dims",
     ),
 )
 def _wave_step_jit(
@@ -337,6 +330,7 @@ def _wave_step_jit(
     num_neighbors: int,
     labeled: bool,
     include_existing: bool = False,
+    trunc_dims: int = 0,
 ) -> GraphArrays:
     """The fused wave step.  One dispatch per wave keeps the build off the
     host (the per-op eager path pays tunnel latency per call)."""
@@ -344,7 +338,11 @@ def _wave_step_jit(
     l = search_list_size
     safe_ids = jnp.maximum(node_ids, 0)
     node_labels = arrays.node_labels[safe_ids]
-    query_vecs = arrays.vectors[safe_ids]
+    # Build-time traversal uses the indexed prefix only (plain+truncated:
+    # the reference's plain node stores the index slice, build.rs:548).
+    if trunc_dims <= 0:
+        trunc_dims = arrays.vectors.shape[-1]
+    query_vecs = arrays.vectors[safe_ids][:, :trunc_dims].astype(jnp.float32)
     query_codes = arrays.codes[safe_ids]
 
     if brute:
@@ -361,6 +359,7 @@ def _wave_step_jit(
             num_candidates=min(l + 1, slice_rows),
             use_codes=use_codes,
             distance_type=distance_type,
+            trunc_dims=trunc_dims,
         )
     else:
         # Unfiltered pass from the default start node.
@@ -380,8 +379,13 @@ def _wave_step_jit(
             filtered=False,
             expand_factor=min(BUILD_EXPAND_FACTOR, l),
         )
-        cand_ids = res.hist_ids
-        cand_dists = res.hist_dists
+        # Visit-history candidates can (rarely) contain a revisited node:
+        # a start node evicted from the beam may re-enter when its
+        # re-computed distance differs in the last ulp from the init-kernel
+        # value.  robust_prune must not see duplicate ids, so dedup always.
+        cand_ids, cand_dists = _dedup_candidates(
+            res.hist_ids, res.hist_dists
+        )
 
         if labeled:
             # Filtered pass from label start nodes (two-phase insert,
@@ -417,7 +421,9 @@ def _wave_step_jit(
                 query_codes, arrays.codes, existing
             ).astype(jnp.float32)
         else:
-            gathered = arrays.vectors[jnp.maximum(existing, 0)]
+            gathered = arrays.vectors[jnp.maximum(existing, 0)][
+                ..., :trunc_dims
+            ].astype(jnp.float32)
             if distance_type == DistanceType.L2:
                 diff = gathered - query_vecs[:, None, :]
                 ex_d = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
@@ -449,6 +455,7 @@ def _wave_step_jit(
         alphas=alphas,
         num_neighbors=num_neighbors,
         labeled=labeled,
+        trunc_dims=trunc_dims,
     )
 
     # --- write the wave rows (padded ids scatter out of bounds -> drop) ---
@@ -488,6 +495,7 @@ def _wave_step_jit(
             alphas=alphas,
             num_neighbors=num_neighbors,
             labeled=labeled,
+            trunc_dims=trunc_dims,
         ).adjacency
 
     adjacency = lax.cond(
@@ -511,6 +519,7 @@ def _overflow_prune(
     alphas: tuple,
     num_neighbors: int,
     labeled: bool,
+    trunc_dims: int,
 ) -> GraphArrays:
     """Fixed-shape, in-device handling of backlink overflow.
 
@@ -562,6 +571,7 @@ def _overflow_prune(
         alphas=alphas,
         num_neighbors=num_neighbors,
         labeled=labeled,
+        trunc_dims=trunc_dims,
     )
 
 
@@ -569,6 +579,7 @@ def _overflow_prune(
     jax.jit,
     static_argnames=(
         "slice_rows", "num_candidates", "use_codes", "distance_type",
+        "trunc_dims",
     ),
 )
 def _brute_candidates(
@@ -580,6 +591,7 @@ def _brute_candidates(
     num_candidates: int,
     use_codes: bool,
     distance_type: DistanceType,
+    trunc_dims: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-C candidates over the first ``prefix`` rows, using the
     storage's build-time measure (Hamming for SBQ, full-precision
@@ -595,8 +607,10 @@ def _brute_candidates(
             arrays.codes[safe_ids], arrays.codes[:slice_rows]
         ).astype(jnp.float32)
     else:
-        qv = arrays.vectors[safe_ids]
-        pts = arrays.vectors[:slice_rows]
+        if trunc_dims <= 0:
+            trunc_dims = arrays.vectors.shape[-1]
+        qv = arrays.vectors[safe_ids][:, :trunc_dims].astype(jnp.float32)
+        pts = arrays.vectors[:slice_rows, :trunc_dims].astype(jnp.float32)
         if distance_type == DistanceType.L2:
             q_sq = jnp.sum(qv * qv, axis=-1, keepdims=True)
             c_sq = jnp.sum(pts * pts, axis=-1)[None, :]
@@ -618,18 +632,20 @@ def _brute_candidates(
 
 
 def _dedup_candidates(cand_ids, cand_dists):
-    """Keep the first occurrence of each id per row (mask later dups)."""
+    """One copy per id per row.  Sort-by-id + adjacent-equality — O(C log C)
+    instead of the O(C^2) broadcast compare.  Output order is by id, which
+    is irrelevant: robust_prune re-sorts by distance."""
     b, c = cand_ids.shape
-    eq = cand_ids[:, :, None] == cand_ids[:, None, :]
-    earlier = (
-        jnp.arange(c, dtype=jnp.int32)[None, :, None]
-        > jnp.arange(c, dtype=jnp.int32)[None, None, :]
+    key = jnp.where(cand_ids == INVALID_ID, _I32_MAX, cand_ids)
+    s_ids, s_d = lax.sort((key, cand_dists), dimension=1, num_keys=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.bool_), s_ids[:, 1:] == s_ids[:, :-1]],
+        axis=1,
     )
-    valid = cand_ids != INVALID_ID
-    dup = jnp.any(eq & earlier & valid[:, None, :], axis=-1)
+    drop = dup | (s_ids == _I32_MAX)
     return (
-        jnp.where(dup, INVALID_ID, cand_ids),
-        jnp.where(dup, jnp.inf, cand_dists),
+        jnp.where(drop, INVALID_ID, s_ids),
+        jnp.where(drop, jnp.inf, s_d),
     )
 
 
@@ -656,13 +672,14 @@ def _prune_rows_batch(
         alphas=ctx.alphas,
         num_neighbors=config.num_neighbors,
         labeled=config.has_labels,
+        trunc_dims=config.dims_to_index,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("use_codes", "code_bits", "distance_type", "alphas",
-                     "num_neighbors", "labeled"),
+                     "num_neighbors", "labeled", "trunc_dims"),
 )
 def _prune_rows_batch_jit(*args, **kwargs) -> GraphArrays:
     return _prune_rows_core(*args, **kwargs)
@@ -679,6 +696,7 @@ def _prune_rows_core(
     alphas: tuple,
     num_neighbors: int,
     labeled: bool,
+    trunc_dims: int = 0,
 ) -> GraphArrays:
     """Prune rows to num_neighbors with candidates = existing ∪ incoming
     (add_neighbors' overflow path, graph/mod.rs:212-266).  Rows with
@@ -697,8 +715,12 @@ def _prune_rows_core(
         qc = arrays.codes[safe_rows]
         cand_d = hamming_gather(qc, arrays.codes, cand_ids).astype(jnp.float32)
     else:
-        qv = arrays.vectors[safe_rows]
-        gathered = arrays.vectors[jnp.maximum(cand_ids, 0)]
+        if trunc_dims <= 0:
+            trunc_dims = arrays.vectors.shape[-1]
+        qv = arrays.vectors[safe_rows][:, :trunc_dims].astype(jnp.float32)
+        gathered = arrays.vectors[jnp.maximum(cand_ids, 0)][
+            ..., :trunc_dims
+        ].astype(jnp.float32)
         if distance_type == DistanceType.L2:
             diff = gathered - qv[:, None, :]
             cand_d = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
@@ -736,6 +758,7 @@ def _prune_rows_core(
         alphas=alphas,
         num_neighbors=num_neighbors,
         labeled=labeled,
+        trunc_dims=trunc_dims,
     )
     pad = arrays.max_degree - nbr_ids.shape[1]
     rows = jnp.pad(nbr_ids, ((0, 0), (0, pad)), constant_values=INVALID_ID)
@@ -790,6 +813,7 @@ def finalize(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
             alphas=ctx.alphas,
             num_neighbors=config.num_neighbors,
             labeled=config.has_labels,
+            trunc_dims=config.dims_to_index,
         )
     return repair_orphans(arrays, ctx)
 
@@ -845,6 +869,67 @@ def reachable_mask(adj: np.ndarray, start: int, n: int) -> np.ndarray:
     return seen
 
 
+@jax.jit
+def repair_orphans_device(arrays: GraphArrays) -> GraphArrays:
+    """Device-resident orphan repair: iterated rounds of 'each orphan
+    scatters itself into a reachable row with free slots'.
+
+    Per round: compute reachability (one scatter-max BFS), pick each
+    orphan's host — its first reachable forward neighbor, falling back to
+    the default start node — and append the reverse edge via the backlink
+    machinery; hosts whose rows are full get the orphan force-written into
+    their last slot (same 'overwrite the farthest edge' policy as the host
+    repair).  Orphan islands attach progressively across rounds.
+
+    Replaces the host-side repair's full adjacency download (prohibitive on
+    tunneled TPUs: a 1M-row graph is ~260 MB at ~0.75 MB/s) with on-device
+    scatters; the host/native path remains as a fallback for pathological
+    graphs.
+    """
+    cap, r_max = arrays.adjacency.shape
+    row = jnp.arange(cap, dtype=jnp.int32)
+    in_graph = (row < arrays.count) & (arrays.default_start >= 0)
+    start = jnp.maximum(arrays.default_start, 0)
+
+    def n_orphans(adj):
+        seen = reachable_on_device(arrays._replace(adjacency=adj))
+        return jnp.sum(in_graph & ~seen, dtype=jnp.int32)
+
+    def cond(state):
+        _, remaining, rounds = state
+        return (remaining > 0) & (rounds < 32)
+
+    def body(state):
+        adj, _, rounds = state
+        seen = reachable_on_device(arrays._replace(adjacency=adj))
+        orphan = in_graph & ~seen
+
+        # Host = first reachable forward neighbor, else the start node.
+        nbr_ok = (adj != INVALID_ID) & seen[jnp.maximum(adj, 0)]
+        pos = jnp.argmax(nbr_ok, axis=1)
+        has = jnp.any(nbr_ok, axis=1)
+        host = jnp.where(
+            has, adj[row, pos], jnp.broadcast_to(start, (cap,))
+        )
+        edge_dst = jnp.where(orphan, host, INVALID_ID)
+        edge_src = jnp.where(orphan, row, INVALID_ID)
+        adj2, accepted = append_backlinks(adj, edge_dst, edge_src)
+
+        # Full host rows: force the orphan into the last slot (conflicting
+        # forces resolve arbitrarily; losers retry next round).
+        force = orphan & ~accepted & (edge_dst != INVALID_ID)
+        w_dst = jnp.where(force, edge_dst, cap)
+        adj2 = adj2.at[w_dst, r_max - 1].set(
+            jnp.where(force, edge_src, INVALID_ID), mode="drop"
+        )
+        return adj2, n_orphans(adj2), rounds + 1
+
+    adj0 = arrays.adjacency
+    state = (adj0, n_orphans(adj0), jnp.zeros((), jnp.int32))
+    adj, _, _ = lax.while_loop(cond, body, state)
+    return arrays._replace(adjacency=adj)
+
+
 def repair_orphans(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
     """Guarantee every node is reachable from the default start node.
 
@@ -868,6 +953,25 @@ def repair_orphans(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
     n_orphans = int(jnp.sum(~seen[:n]))  # one scalar transfer
     if n_orphans == 0:
         return arrays
+    # The reference only warns on orphaned inserts (graph/mod.rs:706-716);
+    # we repair, but the forced graph surgery must not be silent.
+    logger.warning(
+        "repairing %d orphaned node(s): forcing edges from reachable "
+        "nodes so the full graph stays scannable",
+        n_orphans,
+    )
+
+    # Device-resident repair first: no adjacency download.
+    arrays = repair_orphans_device(arrays)
+    seen = reachable_on_device(arrays)
+    n_orphans = int(jnp.sum(~seen[:n]))
+    if n_orphans == 0:
+        return arrays
+    logger.warning(
+        "device orphan repair left %d orphan(s); falling back to the "
+        "host repair path",
+        n_orphans,
+    )
 
     adj = np.ascontiguousarray(np.asarray(arrays.adjacency[:n]), dtype=np.int32).copy()
 

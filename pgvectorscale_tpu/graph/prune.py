@@ -190,12 +190,13 @@ def unpack_code_bits(codes: jax.Array, num_bits: int) -> jax.Array:
 
 
 def pairwise_distance_matrix_full(
-    vecs: jax.Array,  # f32[B, C, D]
+    vecs: jax.Array,  # f32/bf16[B, C, D]
     distance_type,
 ) -> jax.Array:
     """Pairwise full-precision distances among candidates, [B, C, C]."""
     from ..config import DistanceType
 
+    vecs = vecs.astype(jnp.float32)
     dots = jnp.einsum(
         "bcd,bed->bce",
         vecs,

@@ -46,6 +46,28 @@ from ..ops.hamming import hamming_gather
 from ..store import INVALID_ID, GraphArrays, lookup_label_starts
 
 INF = jnp.inf
+_I32_MAX = jnp.int32(2**31 - 1)
+
+
+def rows_member(sorted_rows: jax.Array, vals: jax.Array) -> jax.Array:
+    """Exact membership test of ``vals`` [Q, R] in id-ascending
+    ``sorted_rows`` [Q, L] via batched binary search: O(R log L) gathers
+    instead of the O(R*L) broadcast compare.  Rows are padded with
+    _I32_MAX."""
+    q, l = sorted_rows.shape
+    # Interval [lo, hi) halves per step; length <= floor(l / 2^k) after k
+    # steps, so l.bit_length() steps guarantee convergence to lo == hi.
+    steps = l.bit_length()
+    lo = jnp.zeros(vals.shape, jnp.int32)
+    hi = jnp.full(vals.shape, l, jnp.int32)
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        mv = jnp.take_along_axis(sorted_rows, jnp.minimum(mid, l - 1), axis=1)
+        go_right = mv < vals
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    ml = jnp.take_along_axis(sorted_rows, jnp.clip(lo, 0, l - 1), axis=1)
+    return (lo < l) & (ml == vals)
 
 
 class SearchResult(NamedTuple):
@@ -74,7 +96,14 @@ def _candidate_distances(
             jnp.float32
         )
     safe = jnp.maximum(ids, 0)
-    gathered = arrays.vectors[safe]  # [Q, R, D]
+    # Traversal uses the indexed prefix: stored vectors are full-width (the
+    # heap analog) but plain nodes index only dims_to_index dims — the
+    # reference stores the index slice in the node (build.rs:548,
+    # plain/storage.rs:240) and rescores full-width later.  The query is
+    # already truncated, so slice the gather to the query's width.
+    gathered = arrays.vectors[safe][..., : query_vecs.shape[-1]].astype(
+        jnp.float32
+    )  # [Q, R, Dt]
     if distance_type == DistanceType.L2:
         diff = gathered - query_vecs[:, None, :]
         return jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
@@ -272,32 +301,32 @@ def beam_search(
             keep = overlaps(nbr_labels, query_labels[:, None, :])
             valid = valid & keep
 
-        # Dedup against beam and visit history (the `inserted` set,
-        # graph/mod.rs:77).
-        in_beam = jnp.any(
-            nbrs[:, :, None] == beam_ids[:, None, :], axis=-1
-        )
-        in_hist = jnp.any(
-            nbrs[:, :, None] == hist_ids[:, None, :], axis=-1
-        )
-        valid = valid & ~in_beam & ~in_hist
+        # Dedup against the current beam (the `inserted` set,
+        # graph/mod.rs:77) — broadcast compare (VPU-friendly; the binary-
+        # search variant was measured 10x slower on TPU because per-row
+        # dynamic gathers don't vectorize).  No check against the visit
+        # history is needed: a visited entry evicted from the beam had L
+        # better-or-equal entries at eviction time, the beam only improves,
+        # and the merge sort is stable with beam entries first — so it can
+        # never re-enter the top L.
+        in_beam = jnp.any(nbrs[:, :, None] == beam_ids[:, None, :], axis=-1)
+        valid = valid & ~in_beam
 
-        # Dedup within the candidate row itself (keep first occurrence).
-        nbr_eq = nbrs[:, :, None] == nbrs[:, None, :]
-        nbr_earlier = (
-            jnp.arange(er)[None, :, None]
-            > jnp.arange(er)[None, None, :]
+        # Dedup within the candidate row itself: sort the row by id and
+        # drop adjacent equals (the previous O(er^2) broadcast compare).
+        nbrs = lax.sort(jnp.where(valid, nbrs, _I32_MAX), dimension=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((q, 1), jnp.bool_), nbrs[:, 1:] == nbrs[:, :-1]],
+            axis=1,
         )
-        nbr_dup = jnp.any(nbr_eq & nbr_earlier & valid[:, None, :], axis=-1)
-        valid = valid & ~nbr_dup
+        valid = (nbrs != _I32_MAX) & ~dup
+        nbrs = jnp.where(valid, nbrs, INVALID_ID)
 
         cand_d = jnp.where(valid, dist_fn(nbrs), INF)
         n_comps = n_comps + jnp.sum(valid, axis=1, dtype=jnp.int32)
 
         # --- merge into beam: stable sort keeps ties in insertion order ---
-        all_ids = jnp.concatenate(
-            [beam_ids, jnp.where(valid, nbrs, INVALID_ID)], axis=1
-        )
+        all_ids = jnp.concatenate([beam_ids, nbrs], axis=1)
         all_dists = jnp.concatenate([beam_dists, cand_d], axis=1)
         all_vis = jnp.concatenate(
             [beam_visited, jnp.zeros((q, er), dtype=jnp.bool_)], axis=1
@@ -341,20 +370,3 @@ def beam_search(
         n_dist_comps=n_comps,
         iters=it,
     )
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def top_k_live(
-    result_ids: jax.Array,  # i32[Q, M] sorted by distance
-    result_dists: jax.Array,  # f32[Q, M]
-    deleted: jax.Array,  # bool[cap]
-    *,
-    k: int,
-) -> tuple[jax.Array, jax.Array]:
-    """Filter tombstoned nodes out of sorted results and take the top k
-    (scan.rs:231 — search traverses deleted nodes but never returns them)."""
-    live = (result_ids != INVALID_ID) & ~deleted[jnp.maximum(result_ids, 0)]
-    d = jnp.where(live, result_dists, INF)
-    ids = jnp.where(live, result_ids, INVALID_ID)
-    sorted_d, sorted_ids = lax.sort((d, ids), dimension=1, num_keys=1)
-    return sorted_ids[:, :k], sorted_d[:, :k]

@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 import heapq
 import json
+import logging
 from typing import Iterable, Optional, Sequence
 
 import jax
@@ -43,13 +44,17 @@ from .config import (
     StorageLayout,
 )
 from .distance import preprocess_cosine
-from .graph.build import BuildContext, finalize, insert_wave, wave_schedule
+from .graph.build import BuildContext, finalize, insert_wave
 from .graph.search import beam_search, get_start_ids
 from .labels import LABEL_SENTINEL, make_label_array, overlaps
 from .ops import sbq
 from .store import INVALID_ID, GraphArrays
 
 _INF = jnp.inf
+
+# Observability parity with the reference's notice!/debug1! logging
+# (build.rs:307-313 build parameters, scan.rs:439-476 per-query stats dump).
+logger = logging.getLogger("pgvectorscale_tpu")
 
 
 # ----------------------------------------------------------------------
@@ -97,7 +102,11 @@ def _finalize_results(
     m = min(rescore_n + k, ids.shape[1])
     top_ids = ids[:, :m]
     top_d = d[:, :m]
-    vecs = arrays.vectors[jnp.maximum(top_ids, 0)]  # [Q, m, D]
+    # Gather stays in the storage dtype (bf16 tier halves the HBM read);
+    # the convert fuses into the distance computation.
+    vecs = arrays.vectors[jnp.maximum(top_ids, 0)].astype(
+        jnp.float32
+    )  # [Q, m, D]
     if distance_type == DistanceType.L2:
         diff = vecs - query_vecs[:, None, :]
         exact = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
@@ -127,7 +136,7 @@ def _exact_distances(
     *,
     distance_type: DistanceType,
 ) -> jax.Array:
-    vecs = arrays.vectors[jnp.maximum(ids, 0)]
+    vecs = arrays.vectors[jnp.maximum(ids, 0)].astype(jnp.float32)
     if distance_type == DistanceType.L2:
         diff = vecs - query_vec[None, :]
         return jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
@@ -274,6 +283,19 @@ class DiskannIndex:
 
         from .stats import WriteStats
 
+        # Build-parameter notice (build.rs:307-313).
+        logger.info(
+            "building index: %d vectors x %d dims, storage=%s, "
+            "num_neighbors=%d, search_list_size=%d, max_alpha=%.2f, "
+            "bits/dim=%d",
+            n,
+            d,
+            config.storage_layout.name,
+            config.num_neighbors,
+            config.search_list_size,
+            config.max_alpha,
+            config.bits_per_dimension if config.uses_sbq else 0,
+        )
         index = cls(config, arrays, stats, external_ids)
         write_stats = WriteStats()
         if n > 0:
@@ -302,6 +324,12 @@ class DiskannIndex:
                 progress_callback("finalizing graph", n, n)
         write_stats.num_nodes = n
         index.build_stats = write_stats
+        logger.info(
+            "index build complete: %d vectors in %.1fs (%.1f vectors/s)",
+            n,
+            write_stats.elapsed_s,
+            write_stats.nodes_per_sec,
+        )
         return index
 
     def _insert_ids_into_graph(
@@ -509,6 +537,10 @@ class DiskannIndex:
         # Keep the raw result on device; stats transfer only on access
         # (device->host pulls are expensive on tunneled TPUs).
         self._last_search_res = search_res
+        if logger.isEnabledFor(logging.DEBUG):
+            # Opt-in per-query stats dump (amendscan debug1, scan.rs:439-476).
+            # Gated: realizing the stats pulls device scalars.
+            logger.debug("query stats: %s", self.last_search_stats)
         return np.asarray(ids), np.asarray(dists)
 
     def estimate_query_cost(
@@ -558,6 +590,18 @@ class DiskannIndex:
         mask = ids >= 0
         out[mask] = self.external_ids[ids[mask]]
         return out
+
+    def exact_distances_for(self, qv: jax.Array, ids: np.ndarray) -> np.ndarray:
+        """Full-precision distances from a preprocessed query to rows
+        ``ids`` — the heap-fetch rescore hook used by SearchIterator."""
+        return np.asarray(
+            _exact_distances(
+                self.arrays,
+                qv,
+                jnp.asarray(np.asarray(ids, dtype=np.int32)),
+                distance_type=self.config.distance_type,
+            )
+        )
 
     # ------------------------------------------------------------------
     # Delete / compact (vacuum analog)
@@ -612,6 +656,11 @@ class DiskannIndex:
         meta page, meta_page.rs:22-23, plus all index pages)."""
         host = store.to_host(self.arrays)
         n = self.count
+        # bf16 has no stable numpy save format; store the raw bit pattern
+        # (vector_dtype in the config says how to view it back).
+        vectors = host.vectors[:n]
+        if self.config.vector_dtype == "bf16":
+            vectors = vectors.view(np.uint16)
         np.savez_compressed(
             path,
             magic=np.int64(CHECKPOINT_MAGIC),
@@ -619,7 +668,7 @@ class DiskannIndex:
             config=np.frombuffer(
                 json.dumps(self.config.to_dict()).encode(), dtype=np.uint8
             ),
-            vectors=host.vectors[:n],
+            vectors=vectors,
             codes=host.codes[:n],
             adjacency=host.adjacency[:n],
             node_labels=host.node_labels[:n],
@@ -652,14 +701,19 @@ class DiskannIndex:
             config = IndexConfig.from_dict(
                 json.loads(bytes(z["config"]).decode())
             )
-            n = z["vectors"].shape[0]
+            vectors = z["vectors"]
+            if config.vector_dtype == "bf16":
+                import ml_dtypes
+
+                vectors = vectors.view(ml_dtypes.bfloat16)
+            n = vectors.shape[0]
             capacity = max(_round_up(n, 1024), 1024)
             arrays = store.empty_arrays(
                 config, capacity, label_table_capacity=len(z["label_start_keys"])
             )
             if n > 0:
                 arrays = arrays._replace(
-                    vectors=arrays.vectors.at[:n].set(z["vectors"]),
+                    vectors=arrays.vectors.at[:n].set(vectors),
                     codes=arrays.codes.at[:n].set(z["codes"]),
                     adjacency=arrays.adjacency.at[:n].set(z["adjacency"]),
                     node_labels=arrays.node_labels.at[:n].set(z["node_labels"]),
@@ -706,9 +760,14 @@ class SearchIterator:
             [list(query_labels)] if query_labels is not None else None
         )
         self._returned: set[int] = set()
+        # Everything ever handed out of a beam re-run: returned + buffered +
+        # pending.  Filtering fresh candidates against only ``_returned``
+        # re-pushed buffer residents and yielded duplicates (round-1 advisor
+        # finding).
+        self._seen: set[int] = set()
         self._exhausted = False
         self._l = max(params.search_list_size, 2)
-        self._pending: list[tuple[int, float]] = []  # approx order
+        self._pending: list[tuple[int, float]] = []  # (id, dist) approx order
         self._buffer: list[tuple[float, int]] = []  # exact-dist min-heap
         self._use_exact = index._needs_rescore(params)
         self._qv = None
@@ -754,10 +813,15 @@ class SearchIterator:
             fresh = [
                 (int(i), float(d))
                 for i, d in zip(ids[0], dists[0])
-                if i != INVALID_ID and int(i) not in self._returned
+                if i != INVALID_ID and int(i) not in self._seen
             ]
+            if fresh and self._use_exact:
+                # One batched exact-distance dispatch per refill: streaming
+                # per-node pulls cost ~0.4 s each on tunneled TPUs.
+                fresh = self._rescore_batch(fresh)
             self._pending = fresh
-            got_all = len(self._returned) + len(fresh) >= n_live
+            self._seen.update(i for i, _ in fresh)
+            got_all = len(self._seen) >= n_live
             if not fresh:
                 if self._l >= 4 * max(n_live, 1):
                     self._exhausted = True
@@ -765,21 +829,19 @@ class SearchIterator:
             elif not got_all:
                 self._l *= 2  # pre-grow so the next refill reaches deeper
 
-    def _exact(self, node_id: int, approx: float) -> float:
-        if not self._use_exact:
-            return approx
+    def _rescore_batch(
+        self, pending: list[tuple[int, float]]
+    ) -> list[tuple[int, float]]:
+        """Exact distances for a whole refill in one device dispatch
+        (get_full_distance_for_resort analog, sbq/storage.rs:304-328)."""
         if self._qv is None:
             qv = jnp.asarray(self.query)
             if self.index.config.distance_type == DistanceType.COSINE:
                 qv = preprocess_cosine(qv)
             self._qv = qv[0]
-        d = _exact_distances(
-            self.index.arrays,
-            self._qv,
-            jnp.asarray([node_id], dtype=jnp.int32),
-            distance_type=self.index.config.distance_type,
-        )
-        return float(d[0])
+        ids = np.asarray([i for i, _ in pending], dtype=np.int32)
+        d = self.index.exact_distances_for(self._qv, ids)
+        return [(int(i), float(x)) for i, x in zip(ids, d)]
 
     def __iter__(self):
         return self
@@ -792,10 +854,9 @@ class SearchIterator:
                 self._refill_pending()
                 if not self._pending:
                     break
-            nid, approx = self._pending.pop(0)
+            nid, exact = self._pending.pop(0)
             if nid in self._returned:
                 continue
-            exact = self._exact(nid, approx)
             if len(self._buffer) > 1:
                 self._update_streaming_stats(exact)
             heapq.heappush(self._buffer, (exact, nid))
@@ -920,7 +981,9 @@ def _ingest_jit(
     indexed = dev[:, : config.dims_to_index]
     stats = sbq.train(indexed) if train else stats_in
     arrays = arrays._replace(
-        vectors=arrays.vectors.at[:n].set(dev),
+        vectors=arrays.vectors.at[:n].set(
+            dev.astype(arrays.vectors.dtype)
+        ),
         count=jnp.asarray(n, dtype=jnp.int32),
     )
     if config.uses_sbq:
@@ -948,7 +1011,9 @@ def _add_ingest_jit(
     )
     indexed = dev[:, : config.dims_to_index]
     arrays = arrays._replace(
-        vectors=lax.dynamic_update_slice(arrays.vectors, dev, (n0, 0)),
+        vectors=lax.dynamic_update_slice(
+            arrays.vectors, dev.astype(arrays.vectors.dtype), (n0, 0)
+        ),
         count=(n0 + m).astype(jnp.int32),
     )
     if config.uses_sbq:
@@ -965,8 +1030,14 @@ def _add_ingest_jit(
 # a loaded checkpoint dict one version forward.  The analog of the
 # reference's transparent meta-page V1/V2 -> V3 migration on fetch
 # (meta_page.rs:399-419) and its SQL upgrade-script chain.
+def _migrate_v1_to_v2(z: dict) -> dict:
+    # v2 added config.vector_dtype (defaulted on read) and uint16 bit views
+    # for bf16 vectors; v1 checkpoints are all-f32, nothing to rewrite.
+    return z
+
+
 _CHECKPOINT_MIGRATIONS: dict = {
-    # e.g. 1: _migrate_v1_to_v2,
+    1: _migrate_v1_to_v2,
 }
 
 

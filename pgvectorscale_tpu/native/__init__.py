@@ -130,7 +130,13 @@ def repair_orphans_inplace(adj: np.ndarray, start: int) -> int:
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    adj = np.ascontiguousarray(adj, dtype=np.int32)
+    # The mutation must land in the caller's buffer: ascontiguousarray would
+    # silently copy (and drop the repairs) for non-int32/non-contiguous
+    # input, so reject such input instead.
+    if adj.dtype != np.int32 or not adj.flags.c_contiguous:
+        raise TypeError(
+            "repair_orphans_inplace requires a C-contiguous int32 array"
+        )
     n, r = adj.shape
     return int(lib.pgvs_repair_orphans(adj, n, r, np.int32(start)))
 

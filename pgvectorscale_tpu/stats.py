@@ -3,8 +3,8 @@
 TPU-native analog of the reference's stats traits
 (reference: pgvectorscale/src/access_method/stats.rs — per-counter traits
 ``StatsDistanceComparison``, ``StatsNodeRead``, ``StatsNodeVisit``, and the
-aggregates ``GreedySearchStats``, ``PruneNeighborStats``, ``InsertStats``,
-``WriteStats``; dumped at query end by amendscan, scan.rs:439-476).
+aggregates ``GreedySearchStats``, ``WriteStats``; dumped at query end by
+amendscan, scan.rs:439-476).
 
 On TPU the counters are device scalars carried through the jitted search
 (SearchResult.n_visited / n_dist_comps) and summarized host-side here.
@@ -68,13 +68,3 @@ class WriteStats:
     def nodes_per_sec(self) -> float:
         e = self.elapsed_s
         return self.num_nodes / e if e > 0 else 0.0
-
-
-@dataclasses.dataclass
-class InsertStats:
-    """Aggregate for incremental adds (InsertStats analog)."""
-
-    num_inserted: int = 0
-    greedy: GreedySearchStats = dataclasses.field(
-        default_factory=GreedySearchStats
-    )

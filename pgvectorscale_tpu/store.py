@@ -78,7 +78,7 @@ def empty_arrays(
     r = config.max_neighbors_during_build
     lmax = config.max_labels_per_vector
     return GraphArrays(
-        vectors=jnp.zeros((capacity, d), dtype=jnp.float32),
+        vectors=jnp.zeros((capacity, d), dtype=config.vector_jnp_dtype),
         codes=jnp.zeros((capacity, w), dtype=jnp.uint32),
         adjacency=jnp.full((capacity, r), INVALID_ID, dtype=jnp.int32),
         node_labels=jnp.full((capacity, lmax), LABEL_SENTINEL, dtype=jnp.int32),
@@ -127,45 +127,6 @@ def lookup_label_starts(
     # At most one key matches; max-reduce picks it out (INVALID_ID elsewhere).
     ids = jnp.where(eq, arrays.label_start_ids[None, None, :], INVALID_ID)
     return jnp.max(ids, axis=-1)
-
-
-def upsert_label_starts(
-    arrays: GraphArrays,
-    new_labels: jax.Array,  # i32[M] labels to ensure (LABEL_SENTINEL = skip)
-    new_ids: jax.Array,  # i32[M] node ids to use if label uncovered
-) -> GraphArrays:
-    """Register start nodes for labels not yet covered (first vector with an
-    uncovered label becomes that label's start node —
-    graph/mod.rs:490-533).
-
-    Processes entries in order with a sequential scan so that the *first*
-    vector carrying a new label wins, matching the reference.
-    """
-    keys, ids = arrays.label_start_keys, arrays.label_start_ids
-
-    def body(carry, x):
-        keys, ids = carry
-        label, node = x
-        exists = jnp.any(keys == label) | (label == LABEL_SENTINEL)
-        # First free slot.
-        free = keys == LABEL_SENTINEL
-        slot = jnp.argmax(free)
-        has_free = jnp.any(free)
-        do_insert = (~exists) & has_free
-        keys = jnp.where(
-            do_insert,
-            keys.at[slot].set(label),
-            keys,
-        )
-        ids = jnp.where(
-            do_insert,
-            ids.at[slot].set(node),
-            ids,
-        )
-        return (keys, ids), None
-
-    (keys, ids), _ = jax.lax.scan(body, (keys, ids), (new_labels, new_ids))
-    return arrays._replace(label_start_keys=keys, label_start_ids=ids)
 
 
 class HostArrays(NamedTuple):

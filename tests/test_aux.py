@@ -130,6 +130,41 @@ def test_debug_helpers(small_index):
     assert dot.startswith("digraph") and "->" in dot
 
 
+def test_build_logging(rng, caplog):
+    """Observability parity: build parameters are noticed (build.rs:307-313)
+    and completion is reported."""
+    import logging
+
+    from pgvectorscale_tpu import DiskannIndex, DistanceType, IndexConfig
+
+    vectors = rng.standard_normal((120, 16)).astype("float32")
+    with caplog.at_level(logging.INFO, logger="pgvectorscale_tpu"):
+        DiskannIndex.build(
+            vectors,
+            IndexConfig(
+                num_dimensions=16,
+                distance_type=DistanceType.L2,
+                num_neighbors=10,
+                search_list_size=16,
+            ),
+        )
+    text = caplog.text
+    assert "building index: 120 vectors" in text
+    assert "index build complete" in text
+
+
+def test_query_stats_debug_dump(small_index, caplog):
+    """Opt-in per-query stats dump (amendscan debug1, scan.rs:439-476)."""
+    import logging
+
+    import numpy as np
+
+    index, vectors = small_index
+    with caplog.at_level(logging.DEBUG, logger="pgvectorscale_tpu"):
+        index.search(vectors[:2], k=3)
+    assert "query stats" in caplog.text
+
+
 def test_cli_bench_smoke(tmp_path):
     """CLI end-to-end smoke via subprocess (build -> info -> search)."""
     from pgvectorscale_tpu.io.datasets import synthetic_corpus, write_fvecs

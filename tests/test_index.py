@@ -358,6 +358,72 @@ def test_matryoshka_truncated_dims(rng):
     np.testing.assert_allclose(dists[row, col], expected, rtol=1e-4)
 
 
+def test_matryoshka_truncated_dims_plain(rng):
+    """PLAIN storage with num_dimensions_to_index < num_dimensions
+    (plain/storage.rs:179 — resort iff truncated): traversal uses the
+    indexed prefix (the reference's plain node stores the index slice,
+    build.rs:548), rescore the full vector.  Round-1 crash repro."""
+    n, d, dt = 600, 64, 32
+    # Put the signal in the prefix so truncated search is meaningful.
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    vectors[:, dt:] *= 0.05
+    queries = rng.standard_normal((20, d)).astype(np.float32)
+    queries[:, dt:] *= 0.05
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        storage_layout=StorageLayout.PLAIN,
+        num_dimensions_to_index=dt,
+    )
+    index = DiskannIndex.build(vectors, config)
+    recall = _recall_at_k(index, vectors, queries, 10, DistanceType.L2)
+    assert recall >= 0.9
+    # Rescored distances must be exact full-dim distances.
+    ids, dists = index.search(queries, k=10)
+    nid = int(ids[0, 0])
+    expected = float(((vectors[nid] - queries[0]) ** 2).sum())
+    np.testing.assert_allclose(dists[0, 0], expected, rtol=1e-4)
+    # Without rescore, distances are truncated-prefix distances
+    # (plain/storage.rs:240: traversal uses to_index_slice).
+    ids0, dists0 = index.search(queries, k=5, params=QueryParams(rescore=0))
+    nid0 = int(ids0[0, 0])
+    expected0 = float(((vectors[nid0, :dt] - queries[0, :dt]) ** 2).sum())
+    np.testing.assert_allclose(dists0[0, 0], expected0, rtol=1e-4)
+
+
+def test_bf16_vector_tier(rng, tmp_path):
+    """vector_dtype="bf16" halves the full-precision HBM tier (the TPU
+    analog of the reference keeping full vectors off-engine on the heap,
+    table_slot.rs:13-53).  Rescore casts to f32; recall is unaffected at
+    gate level; checkpoints round-trip the raw bf16 bits."""
+    import ml_dtypes
+
+    n, d = 1000, 64
+    vectors, queries = _lowrank(rng, n, 50, d)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        vector_dtype="bf16",
+    )
+    index = DiskannIndex.build(vectors, config)
+    assert index.arrays.vectors.dtype == jnp.bfloat16
+    recall = _recall_at_k(index, vectors, queries, 10, DistanceType.L2)
+    # bf16 rescore reorders near-ties vs the f32 ground truth; the
+    # exact-match gate is slightly relaxed (graph quality is unchanged).
+    assert recall >= 0.85
+
+    path = str(tmp_path / "bf16.npz")
+    index.save(path)
+    loaded = DiskannIndex.load(path)
+    assert loaded.arrays.vectors.dtype == jnp.bfloat16
+    a = np.asarray(index.arrays.vectors[:n]).view(np.uint16)
+    b = np.asarray(loaded.arrays.vectors[:n]).view(np.uint16)
+    np.testing.assert_array_equal(a, b)
+    ids0, d0 = index.search(queries, k=10)
+    ids1, d1 = loaded.search(queries, k=10)
+    np.testing.assert_array_equal(ids0, ids1)
+
+
 def test_no_rescore(rng):
     """rescore=0 disables exact reordering (test_no_rescore analog,
     build.rs:1419): SBQ distances come back as raw Hamming values."""

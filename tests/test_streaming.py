@@ -64,6 +64,29 @@ def test_mixed_insert_query_delete_stream(rng):
     assert count_reachable_nodes(index) == index.count
 
 
+def test_iterator_no_duplicates_full_scan(rng):
+    """Streaming the whole index yields every live row EXACTLY once
+    (round-1 advisor finding: buffer residents were re-pushed across beam
+    re-runs and popped twice; set-collecting tests masked it)."""
+    n, d = 300, 32
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    index = DiskannIndex.build(
+        vectors,
+        IndexConfig(
+            num_dimensions=d,
+            distance_type=DistanceType.L2,
+            num_neighbors=16,
+            search_list_size=32,
+        ),
+    )
+    it = index.search_iter(
+        vectors[0], params=QueryParams(search_list_size=4, rescore=10)
+    )
+    got = [nid for nid, _ in it]
+    assert len(got) == n, f"expected {n} results, got {len(got)}"
+    assert len(set(got)) == n, "iterator yielded duplicate ids"
+
+
 def test_add_then_compact_then_add(rng):
     d = 24
     config = IndexConfig(
