@@ -101,6 +101,7 @@ def build_wave_step(
     num_neighbors: int,
     r_max: int,
     code_bits: int,
+    trunc_dims: int = 0,
 ) -> GraphArrays:
     """One fully-jitted build wave — the framework's "training step", the
     unit that shards over the device mesh.  Delegates to the fused
@@ -122,6 +123,7 @@ def build_wave_step(
         alphas=alphas,
         num_neighbors=num_neighbors,
         labeled=False,
+        trunc_dims=trunc_dims,
     )
 
 
@@ -151,4 +153,5 @@ def sharded_build_step(
         num_neighbors=config.num_neighbors,
         r_max=config.max_neighbors_during_build,
         code_bits=config.dims_to_index * config.bits_per_dimension,
+        trunc_dims=config.dims_to_index,
     )

@@ -46,42 +46,10 @@ from ..config import (
 )
 from ..distance import preprocess_cosine
 from ..graph.search import beam_search, get_start_ids
-from ..index import DiskannIndex, _query_max_iters
+from ..index import _query_max_iters
 from ..labels import make_label_array, overlaps
 from ..ops import sbq
 from ..store import INVALID_ID, GraphArrays, from_host, to_host
-
-
-def _stack_arrays(per_shard: list[GraphArrays]) -> GraphArrays:
-    """Stack per-shard GraphArrays into leading-axis-P tensors (equal
-    capacities required)."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *per_shard)
-
-
-def _pad_and_stack(shards: list, mesh: Mesh) -> GraphArrays:
-    """Equalize per-shard capacities and label-table sizes, then stack."""
-    from .. import store
-    from ..labels import LABEL_SENTINEL
-
-    cap = max(s.arrays.capacity for s in shards)
-    lt = max(s.arrays.label_start_keys.shape[0] for s in shards)
-    padded = []
-    for s in shards:
-        a = store.grow(s.arrays, cap) if s.arrays.capacity < cap else s.arrays
-        cur = a.label_start_keys.shape[0]
-        if cur < lt:
-            a = a._replace(
-                label_start_keys=jnp.pad(
-                    a.label_start_keys, (0, lt - cur),
-                    constant_values=int(LABEL_SENTINEL),
-                ),
-                label_start_ids=jnp.pad(
-                    a.label_start_ids, (0, lt - cur),
-                    constant_values=INVALID_ID,
-                ),
-            )
-        padded.append(a)
-    return _stack_arrays(padded)
 
 
 def _shard_leading(tree, mesh: Mesh):
@@ -110,7 +78,8 @@ def _shard_leading(tree, mesh: Mesh):
 )
 def _sharded_search_step(
     stacked: GraphArrays,  # leaves [P, ...]
-    query_vecs: jax.Array,  # f32[Q, D] (replicated)
+    query_vecs: jax.Array,  # f32[Q, Dt] truncated/indexed prefix (traversal)
+    query_full: jax.Array,  # f32[Q, D] full-width (exact rescore)
     query_codes: jax.Array,  # u32[Q, W]
     query_labels: jax.Array,  # i32[Q, Lq] (Lq == 0 when unfiltered)
     *,
@@ -163,15 +132,17 @@ def _sharded_search_step(
         top_ids = ids[:, :m]
         top_d = d[:, :m]
         if use_exact:
-            vecs = arrays.vectors[jnp.maximum(top_ids, 0)]
+            vecs = arrays.vectors[jnp.maximum(top_ids, 0)].astype(
+                jnp.float32
+            )
             if distance_type == DistanceType.L2:
-                diff = vecs - query_vecs[:, None, :]
+                diff = vecs - query_full[:, None, :]
                 exact = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
             else:
                 dots = jnp.einsum(
                     "qmd,qd->qm",
                     vecs,
-                    query_vecs,
+                    query_full,
                     preferred_element_type=jnp.float32,
                 )
                 exact = (
@@ -197,6 +168,176 @@ def _sharded_search_step(
     all_d = jnp.transpose(d_pqk, (1, 0, 2)).reshape(q, p * k)
     sd, sids = lax.sort((all_d, all_ids), dimension=1, num_keys=1)
     return sids[:, :k], sd[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("distance_type",))
+def _exact_distances_sharded(
+    stacked: GraphArrays,
+    query_vec: jax.Array,  # f32[D]
+    gids: jax.Array,  # i64[M] global slot ids (shard * cap + local)
+    *,
+    distance_type: DistanceType,
+) -> jax.Array:
+    cap = stacked.adjacency.shape[1]
+    safe = jnp.maximum(gids, 0)
+    shard = (safe // cap).astype(jnp.int32)
+    local = (safe % cap).astype(jnp.int32)
+    vecs = stacked.vectors[shard, local].astype(jnp.float32)
+    if distance_type == DistanceType.L2:
+        diff = vecs - query_vec[None, :]
+        return jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
+    dots = jnp.dot(
+        vecs,
+        query_vec,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    if distance_type == DistanceType.INNER_PRODUCT:
+        return -dots
+    return jnp.maximum(1.0 - dots, 0.0)
+
+
+def _alpha_schedule(max_alpha: float):
+    from ..graph.prune import alpha_schedule
+
+    return alpha_schedule(max_alpha)
+
+
+def _sharded_finalize(stacked: GraphArrays, config: IndexConfig) -> GraphArrays:
+    """Vmapped final prune pass (finalize_index_build analog): trim every
+    over-degree row on every shard; only one scalar (the max over-degree
+    count) crosses to the host."""
+    from ..graph.build import (
+        PRUNE_BATCH,
+        _I32_MAX,
+        _over_rows_device,
+        _prune_rows_core,
+    )
+
+    orders, counts = jax.vmap(
+        functools.partial(
+            _over_rows_device, num_neighbors=config.num_neighbors
+        )
+    )(stacked)
+    n_over = int(np.asarray(counts).max())
+    prune = functools.partial(
+        _prune_rows_core,
+        use_codes=config.uses_sbq,
+        code_bits=config.dims_to_index * config.bits_per_dimension,
+        distance_type=config.distance_type,
+        alphas=tuple(_alpha_schedule(config.max_alpha)),
+        num_neighbors=config.num_neighbors,
+        labeled=config.has_labels,
+        trunc_dims=config.dims_to_index,
+    )
+    vprune = jax.jit(jax.vmap(prune, in_axes=(0, 0, 0)))
+    p = orders.shape[0]
+    for i in range(0, n_over, PRUNE_BATCH):
+        chunk = orders[:, i : i + PRUNE_BATCH]
+        batch = jnp.where(chunk == _I32_MAX, INVALID_ID, chunk)
+        if batch.shape[1] < PRUNE_BATCH:
+            batch = jnp.pad(
+                batch,
+                ((0, 0), (0, PRUNE_BATCH - batch.shape[1])),
+                constant_values=INVALID_ID,
+            )
+        inc = jnp.full((p, PRUNE_BATCH, 1), INVALID_ID, dtype=jnp.int32)
+        stacked = vprune(stacked, batch, inc)
+    return stacked
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _sharded_add_ingest(
+    stacked: GraphArrays,  # leaves [P, ...]
+    sbq_stats: sbq.SbqStats,
+    batch: jax.Array,  # f32[P, B, D] (rows >= real[s] are padding)
+    real: jax.Array,  # i32[P] — per-shard real row counts
+    *,
+    config: IndexConfig,
+) -> GraphArrays:
+    """Vmapped insert ingest: normalize + encode + store at each shard's
+    current count — one device dispatch for all shards (aminsert's
+    create_node analog, batched across the mesh)."""
+    b = batch.shape[1]
+
+    def per_shard(arrays: GraphArrays, vecs, r):
+        dev = (
+            preprocess_cosine(vecs)
+            if config.distance_type == DistanceType.COSINE
+            else vecs.astype(jnp.float32)
+        )
+        n0 = arrays.count
+        arrays = arrays._replace(
+            vectors=lax.dynamic_update_slice(
+                arrays.vectors, dev.astype(arrays.vectors.dtype), (n0, 0)
+            ),
+            count=(n0 + r).astype(jnp.int32),
+            # Empty shard: first inserted row becomes the start node.
+            default_start=jnp.where(
+                (arrays.default_start < 0) & (r > 0),
+                n0.astype(jnp.int32),
+                arrays.default_start,
+            ),
+        )
+        if config.uses_sbq:
+            codes = sbq.encode(
+                dev[:, : config.dims_to_index],
+                sbq_stats,
+                config.bits_per_dimension,
+            )
+            arrays = arrays._replace(
+                codes=lax.dynamic_update_slice(
+                    arrays.codes, codes, (n0, jnp.asarray(0, jnp.int32))
+                )
+            )
+        return arrays
+
+    return jax.vmap(per_shard, in_axes=(0, 0, 0))(stacked, batch, real)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "search_list_size",
+        "max_iters",
+        "brute",
+        "slice_rows",
+        "use_codes",
+        "code_bits",
+        "distance_type",
+        "alphas",
+        "num_neighbors",
+        "labeled",
+        "trunc_dims",
+    ),
+)
+def _sharded_wave_step(
+    stacked: GraphArrays,
+    wave: jax.Array,  # i32[P, B] per-shard local ids (INVALID padded)
+    prefix: jax.Array,  # i32[P] — per-shard searchable-row bound
+    *,
+    brute: bool = False,
+    slice_rows: int = 1,
+    **statics,
+) -> GraphArrays:
+    """One build wave on every shard simultaneously (vmapped fused wave
+    step) — every device runs its shard's search+prune+scatter in lockstep,
+    the parallel-worker analog (build.rs:616-716) with zero cross-shard
+    traffic."""
+    from ..graph.build import _wave_step_jit
+
+    def per_shard(arrays: GraphArrays, ids, pfx):
+        return _wave_step_jit(
+            arrays,
+            ids,
+            pfx,
+            brute=brute,
+            slice_rows=slice_rows,
+            include_existing=False,
+            **statics,
+        )
+
+    return jax.vmap(per_shard, in_axes=(0, 0, 0))(stacked, wave, prefix)
 
 
 class ShardedDiskannIndex:
@@ -229,6 +370,23 @@ class ShardedDiskannIndex:
     def count(self) -> int:
         return int(np.asarray(self.stacked.count).sum())
 
+    @property
+    def num_deleted(self) -> int:
+        return int(np.asarray(jnp.sum(self.stacked.deleted)))
+
+    @property
+    def num_live(self) -> int:
+        return self.count - self.num_deleted
+
+    def _needs_rescore(self, params: QueryParams) -> bool:
+        """Same rule as the single-chip index (amgettuple,
+        scan.rs:370-405)."""
+        if params.rescore == 0:
+            return False
+        if self.config.uses_sbq:
+            return True
+        return self.config.dims_to_index < self.config.num_dimensions
+
     # ------------------------------------------------------------------
 
     @classmethod
@@ -240,55 +398,146 @@ class ShardedDiskannIndex:
         *,
         labels: Optional[Sequence[Optional[Iterable[int]]]] = None,
         external_ids: Optional[np.ndarray] = None,
+        initial_wave: int = 256,
+        max_wave: int = 4096,
     ) -> "ShardedDiskannIndex":
+        """Mesh-parallel build: all shards run their build waves in
+        LOCKSTEP (one vmapped dispatch per wave, partitioned over the mesh)
+        instead of the round-1 serial per-shard host loop that left P-1
+        devices idle.  Per-shard results are identical to serial
+        single-shard builds at the same wave schedule (tested).
+
+        The reference analog: parallel workers each building their slice of
+        the heap scan (build.rs:616-716); the quantizer is trained once
+        globally before the workers launch (build.rs:574-614).
+        """
+        from .. import store
+        from ..graph.build import (
+            BRUTE_CANDIDATE_THRESHOLD,
+            repair_orphans_device,
+        )
+        from ..index import _empty_stats, _round_up
+
         vectors = np.asarray(vectors, dtype=np.float32)
         n = vectors.shape[0]
         p = mesh.devices.size
         if external_ids is None:
             external_ids = np.arange(n, dtype=np.int64)
+        else:
+            external_ids = np.asarray(external_ids, dtype=np.int64)
         if labels is not None and not config.has_labels:
             raise ValueError(
                 "labels passed but config.max_labels_per_vector == 0"
             )
         labels_list = list(labels) if labels is not None else None
 
-        # Global quantizer training (one pass; shards share the stats).
-        dev = jnp.asarray(vectors)
-        if config.distance_type == DistanceType.COSINE:
-            dev = preprocess_cosine(dev)
-        stats = (
-            sbq.train(dev[:, : config.dims_to_index])
-            if config.uses_sbq and n > 0
-            else None
-        )
-
-        # Round-robin partition, per-shard local builds.  Round-robin keeps
-        # every label class represented in every shard, so per-shard label
-        # start nodes stay meaningful.
-        shards = []
-        ext = []
-        for s in range(p):
-            rows = np.arange(s, n, p)
-            sub = DiskannIndex.build(
-                vectors[rows],
-                config,
-                labels=(
-                    [labels_list[r] for r in rows]
-                    if labels_list is not None
-                    else None
-                ),
-                external_ids=external_ids[rows],
-                sbq_stats=stats,
-            )
-            shards.append(sub)
-            ext.append(sub.external_ids)
-
-        stacked = _shard_leading(_pad_and_stack(shards, mesh), mesh)
+        # Global quantizer training (one pass; shards share the stats —
+        # the analog of training before parallel workers launch).
+        stats = None
+        if config.uses_sbq and n > 0:
+            dev = jnp.asarray(vectors)
+            if config.distance_type == DistanceType.COSINE:
+                dev = preprocess_cosine(dev)
+            stats = sbq.train(dev[:, : config.dims_to_index])
         if stats is None:
-            from ..index import _empty_stats
-
             stats = _empty_stats(config.dims_to_index)
-        return cls(config, mesh, stacked, stats, ext)
+
+        # Round-robin partition (keeps every label class represented in
+        # every shard, so per-shard label start nodes stay meaningful).
+        rows_per_shard = [np.arange(s, n, p) for s in range(p)]
+        real = np.asarray(
+            [len(r) for r in rows_per_shard], dtype=np.int32
+        )
+        n_s_max = int(real.max()) if n else 0
+        capacity = max(_round_up(max(n_s_max, 1), 1024), 1024)
+
+        empty = store.empty_arrays(config, capacity)
+        stacked = _shard_leading(
+            jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (p, *x.shape)), empty
+            ),
+            mesh,
+        )
+        ext = [external_ids[r] for r in rows_per_shard]
+        index = cls(config, mesh, stacked, stats, ext)
+        if n == 0:
+            return index
+
+        # --- vmapped ingest (normalize + train-shared encode + store) ---
+        batch = np.zeros((p, n_s_max, config.num_dimensions), np.float32)
+        label_arr = None
+        if config.has_labels:
+            from ..labels import LABEL_SENTINEL
+
+            label_arr = np.full(
+                (p, n_s_max, config.max_labels_per_vector),
+                int(LABEL_SENTINEL),
+                np.int32,
+            )
+        for s, rows in enumerate(rows_per_shard):
+            batch[s, : len(rows)] = vectors[rows]
+            if label_arr is not None and labels_list is not None:
+                la = make_label_array(
+                    [labels_list[r] for r in rows],
+                    config.max_labels_per_vector,
+                )
+                label_arr[s, : len(rows)] = la
+        real_dev = jnp.asarray(real)
+        index.stacked = _sharded_add_ingest(
+            index.stacked, stats, jnp.asarray(batch), real_dev, config=config
+        )
+        if label_arr is not None:
+            index.stacked = index.stacked._replace(
+                node_labels=index.stacked.node_labels.at[
+                    :, :n_s_max
+                ].set(jnp.asarray(label_arr))
+            )
+            index._register_label_starts(
+                label_arr, np.zeros(p, np.int64), real
+            )
+
+        # --- lockstep wave loop (same schedule as the single-shard build:
+        # first row seeds the graph, then geometric waves) ---
+        from ..graph.build import _build_max_iters
+
+        statics = dict(
+            search_list_size=config.search_list_size,
+            max_iters=_build_max_iters(config.search_list_size),
+            use_codes=config.uses_sbq,
+            code_bits=config.dims_to_index * config.bits_per_dimension,
+            distance_type=config.distance_type,
+            alphas=tuple(_alpha_schedule(config.max_alpha)),
+            num_neighbors=config.num_neighbors,
+            labeled=config.has_labels,
+            trunc_dims=config.dims_to_index,
+        )
+        done = 0
+        bucket = initial_wave
+        max_remaining = n_s_max - 1  # local id 0 is the start node
+        while done < max_remaining:
+            take = min(bucket, max_remaining - done)
+            start_id = 1 + done
+            ids = start_id + np.arange(bucket, dtype=np.int32)[None, :]
+            wave = np.where(ids < real[:, None], ids, INVALID_ID).astype(
+                np.int32
+            )
+            n_real_s = np.clip(real - start_id, 0, take)
+            brute = start_id <= BRUTE_CANDIDATE_THRESHOLD
+            index.stacked = _sharded_wave_step(
+                index.stacked,
+                jnp.asarray(wave),
+                jnp.asarray(start_id + n_real_s, jnp.int32),
+                brute=brute,
+                slice_rows=min(BRUTE_CANDIDATE_THRESHOLD + bucket, capacity),
+                **statics,
+            )
+            done += take
+            bucket = min(bucket * 2, max_wave)
+
+        # --- finalize (vmapped over-degree prune) + orphan repair ---
+        index.stacked = _sharded_finalize(index.stacked, config)
+        index.stacked = jax.vmap(repair_orphans_device)(index.stacked)
+        return index
 
     # ------------------------------------------------------------------
 
@@ -330,15 +579,13 @@ class ShardedDiskannIndex:
             ql = jnp.zeros((queries.shape[0], 0), dtype=jnp.int32)
 
         l = max(params.search_list_size, k)
-        use_exact = params.rescore > 0 and (
-            config.uses_sbq
-            or config.dims_to_index < config.num_dimensions
-        )
+        use_exact = self._needs_rescore(params)
         # Beam wide enough for the rescore window (see DiskannIndex.search).
         beam_width = max(l, params.rescore + k if use_exact else 0)
         ids, dists = _sharded_search_step(
             self.stacked,
-            q_indexed if not use_exact else qv,
+            q_indexed,
+            qv,
             qc,
             ql,
             k=k,
@@ -353,15 +600,86 @@ class ShardedDiskannIndex:
         )
         return np.asarray(ids), np.asarray(dists)
 
+    def search_iter(
+        self,
+        query: np.ndarray,
+        params: Optional[QueryParams] = None,
+        *,
+        query_labels: Optional[Iterable[int]] = None,
+    ):
+        """Streaming relaxed-order scan over the sharded store (the sharded
+        analog of TSVResponseIterator, scan.rs:210-305).  Yields (global
+        slot id, exact distance); the L-doubling re-runs fan out over all
+        shards, so the full sharded table is enumerable through the index
+        (build.rs:1254-1269 semantics at sharded scale)."""
+        from ..index import SearchIterator
+
+        return SearchIterator(
+            self, query, params or QueryParams(), query_labels
+        )
+
+    def exact_distances_for(self, qv, ids: np.ndarray) -> np.ndarray:
+        """SearchIterator rescore hook: global slot ids -> full-precision
+        distances (one gather over the stacked vectors tensor)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        return np.asarray(
+            _exact_distances_sharded(
+                self.stacked,
+                qv,
+                jnp.asarray(ids),
+                distance_type=self.config.distance_type,
+            )
+        )
+
+    def compact(self) -> "ShardedDiskannIndex":
+        """Rebuild without tombstoned rows (vacuum-full analog).  Pulls the
+        live vectors through the host once — a maintenance path, not a hot
+        path (document: ~N*D*4 bytes over the device->host link)."""
+        from ..labels import LABEL_SENTINEL
+
+        host_vec = np.asarray(
+            self.stacked.vectors, dtype=np.float32
+        )  # [P, cap, D]
+        host_del = np.asarray(self.stacked.deleted)
+        host_lab = (
+            np.asarray(self.stacked.node_labels)
+            if self.config.has_labels
+            else None
+        )
+        counts = np.asarray(self.stacked.count)
+        vecs, exts, labels = [], [], []
+        for s in range(self.num_shards):
+            n_s = int(counts[s])
+            live = np.nonzero(~host_del[s, :n_s])[0]
+            vecs.append(host_vec[s, live])
+            exts.append(self.external_ids[s][live])
+            if host_lab is not None:
+                labels.extend(
+                    [int(v) for v in row if v != LABEL_SENTINEL]
+                    for row in host_lab[s, live]
+                )
+        all_vecs = np.concatenate(vecs, axis=0)
+        all_ext = np.concatenate(exts)
+        return ShardedDiskannIndex.build(
+            all_vecs,
+            self.config,
+            self.mesh,
+            labels=labels if host_lab is not None else None,
+            external_ids=all_ext,
+        )
+
     def to_external(self, ids: np.ndarray) -> np.ndarray:
         """Global slot ids (shard * cap + local) -> external ids."""
+        ids = np.asarray(ids)
         cap = self.shard_capacity
         out = np.full(ids.shape, -1, dtype=np.int64)
         flat = ids.reshape(-1)
         res = out.reshape(-1)
-        for i, g in enumerate(flat):
-            if g >= 0:
-                res[i] = self.external_ids[g // cap][g % cap]
+        shard = flat // cap
+        local = flat % cap
+        for s, ext in enumerate(self.external_ids):
+            m = (flat >= 0) & (shard == s) & (local < len(ext))
+            res[m] = ext[local[m]]
         return out
 
     # ------------------------------------------------------------------
@@ -373,41 +691,192 @@ class ShardedDiskannIndex:
         *,
         labels: Optional[Sequence[Optional[Iterable[int]]]] = None,
     ) -> None:
-        """Round-robin insert into shards (single-shard aminsert path per
-        shard).  Rebuilds the stacked tensors afterwards."""
+        """Round-robin insert into shards, fully device-resident.
+
+        The round-1 implementation pulled the entire stacked store through
+        the host per add (prohibitive at ~0.75 MB/s device->host).  Now the
+        batch is uploaded once, ingested with one vmapped dispatch, graph-
+        inserted with one vmapped wave step per geometric bucket, and
+        orphan-repaired on device — only the per-shard counts (P scalars)
+        ever come back.
+        """
         vectors = np.asarray(vectors, dtype=np.float32)
         m = vectors.shape[0]
         if m == 0:
             return
+        config = self.config
+        if vectors.ndim != 2 or vectors.shape[1] != config.num_dimensions:
+            raise ValueError("vectors must be [M, num_dimensions]")
+        if labels is not None and not config.has_labels:
+            raise ValueError("labels passed to an unlabeled index")
         if external_ids is None:
             base = max(
                 (int(e.max()) + 1 for e in self.external_ids if len(e)),
                 default=0,
             )
             external_ids = np.arange(base, base + m, dtype=np.int64)
+        else:
+            external_ids = np.asarray(external_ids, dtype=np.int64)
         labels_list = list(labels) if labels is not None else None
         p = self.num_shards
-        shards = self._unstack()
-        for j, sub in enumerate(shards):
-            rows = np.arange((j - self._next_shard) % p, m, p)
+
+        shard_of = (self._next_shard + np.arange(m)) % p
+        rows_per_shard = [np.nonzero(shard_of == s)[0] for s in range(p)]
+        real = np.asarray([len(r) for r in rows_per_shard], dtype=np.int32)
+        b = int(real.max())
+        b_pad = 1 << max(b - 1, 0).bit_length()  # geometric bucket
+
+        counts = np.asarray(self.stacked.count, dtype=np.int64)  # [P] pull
+        need = int(counts.max()) + b_pad
+        if need > self.shard_capacity:
+            self._grow_stacked(max(need, 2 * self.shard_capacity))
+
+        batch = np.zeros((p, b_pad, config.num_dimensions), np.float32)
+        label_arr = None
+        if config.has_labels:
+            from ..labels import LABEL_SENTINEL
+
+            label_arr = np.full(
+                (p, b_pad, config.max_labels_per_vector),
+                int(LABEL_SENTINEL),
+                np.int32,
+            )
+        for s, rows in enumerate(rows_per_shard):
             if len(rows):
-                sub.add(
-                    vectors[rows],
-                    external_ids=external_ids[rows],
-                    labels=(
-                        [labels_list[r] for r in rows]
-                        if labels_list is not None
-                        else None
-                    ),
+                batch[s, : len(rows)] = vectors[rows]
+                if label_arr is not None and labels_list is not None:
+                    la = make_label_array(
+                        [labels_list[r] for r in rows],
+                        config.max_labels_per_vector,
+                    )
+                    label_arr[s, : len(rows)] = la
+
+        real_dev = jnp.asarray(real)
+        self.stacked = _sharded_add_ingest(
+            self.stacked,
+            self.sbq_stats,
+            jnp.asarray(batch),
+            real_dev,
+            config=config,
+        )
+        if label_arr is not None:
+            n0 = jnp.asarray(counts[:, None], jnp.int32)
+            col = jnp.arange(b_pad, dtype=jnp.int32)[None, :]
+            w_rows = jnp.where(
+                col < real_dev[:, None], n0 + col, self.shard_capacity
+            )
+            self.stacked = self.stacked._replace(
+                node_labels=self.stacked.node_labels.at[
+                    jnp.arange(p)[:, None], w_rows
+                ].set(jnp.asarray(label_arr), mode="drop")
+            )
+            self._register_label_starts(label_arr, counts, real)
+
+        # Graph insert: one vmapped wave step over all shards.
+        wave = np.where(
+            np.arange(b_pad)[None, :] < real[:, None],
+            counts[:, None] + np.arange(b_pad)[None, :],
+            INVALID_ID,
+        ).astype(np.int32)
+        from ..graph.build import _build_max_iters
+
+        self.stacked = _sharded_wave_step(
+            self.stacked,
+            jnp.asarray(wave),
+            jnp.asarray(counts + real, jnp.int32),
+            brute=False,
+            slice_rows=1,
+            search_list_size=config.search_list_size,
+            max_iters=_build_max_iters(config.search_list_size),
+            use_codes=config.uses_sbq,
+            code_bits=config.dims_to_index * config.bits_per_dimension,
+            distance_type=config.distance_type,
+            alphas=tuple(_alpha_schedule(config.max_alpha)),
+            num_neighbors=config.num_neighbors,
+            labeled=config.has_labels,
+            trunc_dims=config.dims_to_index,
+        )
+        from ..graph.build import repair_orphans_device
+
+        self.stacked = jax.vmap(repair_orphans_device)(self.stacked)
+
+        for s, rows in enumerate(rows_per_shard):
+            if len(rows):
+                self.external_ids[s] = np.concatenate(
+                    [self.external_ids[s], external_ids[rows]]
                 )
         self._next_shard = (self._next_shard + m) % p
-        self._restack(shards)
+
+    def _register_label_starts(
+        self, label_arr: np.ndarray, counts: np.ndarray, real: np.ndarray
+    ) -> None:
+        """First row carrying an uncovered label becomes that label's start
+        node, per shard (update_start_nodes, graph/mod.rs:490-533).  Only
+        the small label tables cross the link."""
+        from ..labels import LABEL_SENTINEL
+
+        keys = np.array(self.stacked.label_start_keys)  # [P, cap_lt] pull
+        ids = np.array(self.stacked.label_start_ids)
+        changed = False
+        for s in range(label_arr.shape[0]):
+            covered = set(int(k) for k in keys[s] if k != LABEL_SENTINEL)
+            free = list(np.nonzero(keys[s] == LABEL_SENTINEL)[0])
+            for r in range(int(real[s])):
+                for v in label_arr[s, r]:
+                    v = int(v)
+                    if v == LABEL_SENTINEL or v in covered or not free:
+                        continue
+                    slot = free.pop(0)
+                    keys[s, slot] = v
+                    ids[s, slot] = int(counts[s]) + r
+                    covered.add(v)
+                    changed = True
+        if changed:
+            self.stacked = self.stacked._replace(
+                label_start_keys=jnp.asarray(keys),
+                label_start_ids=jnp.asarray(ids),
+            )
+
+    def _grow_stacked(self, new_capacity: int) -> None:
+        """Pad the per-shard capacity axis on device (relation-extension
+        analog; no host round trip)."""
+        from ..labels import LABEL_SENTINEL
+
+        cap = self.shard_capacity
+        pad = new_capacity - cap
+        if pad <= 0:
+            return
+
+        def pad_rows(x, fill):
+            widths = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+            return jnp.pad(x, widths, constant_values=fill)
+
+        s = self.stacked
+        self.stacked = s._replace(
+            vectors=pad_rows(s.vectors, 0.0),
+            codes=pad_rows(s.codes, 0),
+            adjacency=pad_rows(s.adjacency, INVALID_ID),
+            node_labels=pad_rows(s.node_labels, int(LABEL_SENTINEL)),
+            deleted=pad_rows(s.deleted, False),
+        )
 
     def delete_external(self, ext_ids: np.ndarray) -> None:
-        shards = self._unstack()
-        for sub in shards:
-            sub.delete_external(ext_ids)
-        self._restack(shards)
+        """Tombstone by external id — one tiny index scatter; the round-1
+        path pulled every tensor through the host."""
+        ext = np.asarray(ext_ids, dtype=np.int64)
+        shard_idx, local_idx = [], []
+        for s, e in enumerate(self.external_ids):
+            loc = np.nonzero(np.isin(e, ext))[0]
+            shard_idx.extend([s] * len(loc))
+            local_idx.extend(loc.tolist())
+        if not shard_idx:
+            return
+        self.stacked = self.stacked._replace(
+            deleted=self.stacked.deleted.at[
+                jnp.asarray(shard_idx, jnp.int32),
+                jnp.asarray(local_idx, jnp.int32),
+            ].set(True)
+        )
 
     # ------------------------------------------------------------------
     # Persistence (one file holding every shard + shared state)
@@ -428,6 +897,9 @@ class ShardedDiskannIndex:
             "sbq_m2": np.asarray(self.sbq_stats.m2),
         }
         for name, leaf in zip(type(host)._fields, host):
+            if name == "vectors" and self.config.vector_dtype == "bf16":
+                # bf16 has no stable numpy save format; store raw bits.
+                leaf = leaf.view(np.uint16)
             payload[f"stacked_{name}"] = leaf
         for s, ext in enumerate(self.external_ids):
             payload[f"ext_{s}"] = ext
@@ -455,9 +927,14 @@ class ShardedDiskannIndex:
             config = IndexConfig.from_dict(
                 json.loads(bytes(z["config"]).decode())
             )
-            host = HostArrays(
-                *[z[f"stacked_{name}"] for name in HostArrays._fields]
-            )
+            leaves = {
+                name: z[f"stacked_{name}"] for name in HostArrays._fields
+            }
+            if config.vector_dtype == "bf16":
+                import ml_dtypes
+
+                leaves["vectors"] = leaves["vectors"].view(ml_dtypes.bfloat16)
+            host = HostArrays(**leaves)
             stats = sbq.SbqStats(
                 count=jnp.asarray(z["sbq_count"]),
                 mean=jnp.asarray(z["sbq_mean"]),
@@ -467,20 +944,3 @@ class ShardedDiskannIndex:
         stacked = _shard_leading(from_host(host), mesh)
         return cls(config, mesh, stacked, stats, ext)
 
-    def _unstack(self) -> list[DiskannIndex]:
-        host = to_host(self.stacked)
-        shards = []
-        for s in range(self.num_shards):
-            arrays = from_host(
-                type(host)(*[leaf[s] for leaf in host])
-            )
-            shards.append(
-                DiskannIndex(
-                    self.config, arrays, self.sbq_stats, self.external_ids[s]
-                )
-            )
-        return shards
-
-    def _restack(self, shards: list[DiskannIndex]) -> None:
-        self.stacked = _shard_leading(_pad_and_stack(shards, self.mesh), self.mesh)
-        self.external_ids = [s.external_ids for s in shards]

@@ -142,6 +142,89 @@ def test_sharded_labeled_filtered_search(rng):
     assert (index.to_external(ids2)[:, 0] >= 0).all()
 
 
+def test_sharded_build_matches_serial_per_shard(rng):
+    """The lockstep mesh build must produce EXACTLY the adjacency a serial
+    single-shard build produces for the same rows and shared quantizer
+    (the parallel-build determinism analog of build.rs:616-716 — workers
+    change the schedule, not the result)."""
+    import jax.numpy as jnp
+
+    from pgvectorscale_tpu import DiskannIndex
+    from pgvectorscale_tpu.ops import sbq as sbq_ops
+
+    n, d, p = 1200, 32, 8
+    vectors, _ = _lowrank(rng, n, 0, d)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=16,
+        search_list_size=32,
+    )
+    index = ShardedDiskannIndex.build(vectors, config, _mesh())
+
+    stats = sbq_ops.train(jnp.asarray(vectors))
+    for s in (0, 3, 7):
+        rows = np.arange(s, n, p)
+        serial = DiskannIndex.build(
+            vectors[rows], config, sbq_stats=stats
+        )
+        n_s = len(rows)
+        got = np.asarray(index.stacked.adjacency[s, :n_s])
+        want = np.asarray(serial.arrays.adjacency[:n_s])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_iterator_full_scan(rng):
+    """Streaming iterator over the sharded store: every live row exactly
+    once, in relaxed-but-rescored order (the sharded analog of the
+    full-reachability scan, build.rs:1254-1269)."""
+    n, d = 600, 32
+    vectors, _ = _lowrank(rng, n, 0, d)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=16,
+        search_list_size=32,
+    )
+    index = ShardedDiskannIndex.build(vectors, config, _mesh())
+    index.delete_external(np.asarray([5, 17, 123], dtype=np.int64))
+
+    it = index.search_iter(
+        vectors[0], params=QueryParams(search_list_size=8, rescore=10)
+    )
+    got = [(gid, dist) for gid, dist in it]
+    assert len(got) == n - 3
+    gids = [g for g, _ in got]
+    assert len(set(gids)) == n - 3, "duplicate ids from sharded iterator"
+    ext = index.to_external(np.asarray(gids))
+    assert set(int(e) for e in ext) == set(range(n)) - {5, 17, 123}
+    # Distances are exact full-precision values.
+    g0, d0 = got[0]
+    e0 = int(index.to_external(np.asarray([g0]))[0])
+    expected = float(((vectors[e0] - vectors[0]) ** 2).sum())
+    np.testing.assert_allclose(d0, expected, rtol=1e-4)
+
+
+def test_sharded_compact(rng):
+    n, d = 700, 32
+    vectors, queries = _lowrank(rng, n, 10, d)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=16,
+        search_list_size=32,
+    )
+    index = ShardedDiskannIndex.build(vectors, config, _mesh())
+    dead = np.arange(0, 100, dtype=np.int64)
+    index.delete_external(dead)
+    compacted = index.compact()
+    assert compacted.count == n - 100
+    assert compacted.num_deleted == 0
+    ids, _ = compacted.search(queries, k=5)
+    ext = compacted.to_external(ids)
+    assert (ext[ids >= 0] >= 100).all()
+
+
 def test_sharded_add_and_delete(rng):
     n, d = 800, 32
     vectors, queries = _lowrank(rng, n + 100, 0, d)
