@@ -14,7 +14,7 @@ CPU extension at the same recall on a large multicore box (the reference
 publishes only relative numbers vs Pinecone — README.md:17-21 — so this is
 the comparison anchor recorded in BASELINE.md).
 
-Environment knobs: BENCH_N (default 100_000), BENCH_Q (default 2048),
+Environment knobs: BENCH_N (default 100_000), BENCH_Q (default 8192),
 BENCH_D (default 128).
 """
 
@@ -34,7 +34,7 @@ os.environ.setdefault(
 
 def main():
     n = int(os.environ.get("BENCH_N", 100_000))
-    q = int(os.environ.get("BENCH_Q", 2048))
+    q = int(os.environ.get("BENCH_Q", 8192))
     d = int(os.environ.get("BENCH_D", 128))
     k = 10
 
@@ -53,6 +53,14 @@ def main():
 
     config = IndexConfig(num_dimensions=d, distance_type=DistanceType.COSINE)
 
+    # First build absorbs the one-time XLA compiles (wave/ingest/finalize
+    # programs — persisted to the compile cache); the second, same-shape
+    # build measures steady-state throughput, which is what an operator
+    # sees for every build after the first on a warm serving fleet.
+    t0 = time.perf_counter()
+    index = DiskannIndex.build(vectors, config)
+    jax.block_until_ready(index.arrays.adjacency)
+    build_cold_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     index = DiskannIndex.build(vectors, config)
     jax.block_until_ready(index.arrays.adjacency)
@@ -88,12 +96,15 @@ def main():
     # Operating-point sweep: report the fastest point achieving >= 0.9
     # recall@10 (the reference's headline is QPS at high recall;
     # README.md:17-21).  Reference defaults (L=100, rescore=50) included.
+    # The 2-bit SBQ quantizer ordering caps recall ~0.70 at rescore=50 on
+    # this corpus (measured brute-force ceiling), so the >=0.9 operating
+    # points carry a wider rescore window.
     sweep = [
         QueryParams(search_list_size=100, rescore=50),
-        QueryParams(search_list_size=100, rescore=200),
-        QueryParams(search_list_size=150, rescore=300),
-        QueryParams(search_list_size=200, rescore=400),
-        QueryParams(search_list_size=300, rescore=700),
+        QueryParams(search_list_size=150, rescore=300, expand=2),
+        QueryParams(search_list_size=150, rescore=320, expand=4),
+        QueryParams(search_list_size=200, rescore=400, expand=2),
+        QueryParams(search_list_size=300, rescore=700, expand=2),
     ]
     points = []
     for params in sweep:
@@ -102,6 +113,7 @@ def main():
             {
                 "L": params.search_list_size,
                 "rescore": params.rescore,
+                "expand": params.expand,
                 "qps": round(qps, 1),
                 "recall": round(recall, 4),
             }
@@ -126,6 +138,7 @@ def main():
                 "operating_point": {"L": best["L"], "rescore": best["rescore"]},
                 "sweep": points,
                 "build_vectors_per_sec": round(build_vps, 1),
+                "build_cold_vectors_per_sec": round(n / build_cold_s, 1),
                 "n": n,
                 "dims": d,
                 "batch": q,

@@ -51,6 +51,7 @@ def cmd_build(args) -> int:
         max_alpha=args.max_alpha,
         num_dimensions_to_index=args.num_dimensions,
         num_bits_per_dimension=args.num_bits,
+        vector_dtype=args.vector_dtype,
     )
     t0 = time.perf_counter()
     index = DiskannIndex.build(
@@ -77,7 +78,9 @@ def cmd_search(args) -> int:
     index = DiskannIndex.load(args.index)
     queries = _load_vectors(args.queries, args.max_rows)
     params = QueryParams(
-        search_list_size=args.search_list_size, rescore=args.rescore
+        search_list_size=args.search_list_size,
+        rescore=args.rescore,
+        expand=args.expand,
     )
     t0 = time.perf_counter()
     ids, dists = index.search(queries, k=args.k, params=params)
@@ -188,6 +191,8 @@ def main(argv=None) -> int:
     b.add_argument("--max-rows", type=int, default=None)
     b.add_argument("--refine-passes", type=int, default=0,
                    help="extra graph-refinement sweeps (quality vs time)")
+    b.add_argument("--vector-dtype", default="f32", choices=["f32", "bf16"],
+                   help="full-precision tier dtype (bf16 halves HBM)")
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", help="query a saved index")
@@ -196,6 +201,8 @@ def main(argv=None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--search-list-size", type=int, default=100)
     s.add_argument("--rescore", type=int, default=50)
+    s.add_argument("--expand", type=int, default=4,
+                   help="multi-frontier width E (TPU knob)")
     s.add_argument("--show", type=int, default=10)
     s.add_argument("--max-rows", type=int, default=None)
     s.set_defaults(fn=cmd_search)

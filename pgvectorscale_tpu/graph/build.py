@@ -70,6 +70,10 @@ BRUTE_CANDIDATE_THRESHOLD = 4096
 # of the reference processing one backlink at a time — extra incoming edges
 # simply wait for the next round's append).
 INCOMING_CAP = 64
+# Prune's pairwise-Hamming unpacks codes to 0/1 bits for the MXU
+# popcount-dot; above this many bits the unpack is chunked to bound the
+# transient [B, C, bits] footprint (16k-dim indexes have 16k-32k bits).
+_PAIRWISE_CHUNK_BITS = 4096
 
 
 def candidate_pair_distances(
@@ -91,8 +95,26 @@ def candidate_pair_distances(
     safe = jnp.maximum(cand_ids, 0)
     if use_codes:
         codes = arrays.codes[safe]  # [B, C, W]
-        bits = unpack_code_bits(codes, code_bits)
-        return pairwise_hamming_mxu(bits)
+        if code_bits <= _PAIRWISE_CHUNK_BITS:
+            return pairwise_hamming_mxu(unpack_code_bits(codes, code_bits))
+        # Wide codes (high-dim indexes, up to 16000 dims -> 500 words):
+        # unpacking all bits at once would materialize a [B, C, bits] f32
+        # tensor (e.g. 8.5 GB at B=1024, C=130, 16k bits).  Chunk the
+        # popcount-dot accumulation over word blocks so the peak unpacked
+        # footprint stays [B, C, chunk].  Static Python loop — W is a
+        # trace-time constant.
+        w = codes.shape[-1]
+        wpc = _PAIRWISE_CHUNK_BITS // 32
+        dots = jnp.zeros(safe.shape + (safe.shape[-1],), jnp.float32)
+        pops = jnp.zeros(safe.shape, jnp.float32)
+        for w0 in range(0, w, wpc):
+            nb = min(code_bits - w0 * 32, wpc * 32)
+            cb = unpack_code_bits(codes[..., w0 : w0 + wpc], nb)
+            dots = dots + jnp.einsum(
+                "bcd,bed->bce", cb, cb, preferred_element_type=jnp.float32
+            )
+            pops = pops + jnp.sum(cb, axis=-1)
+        return pops[:, :, None] + pops[:, None, :] - 2.0 * dots
     vecs = arrays.vectors[safe][..., :trunc_dims]
     return pairwise_distance_matrix_full(vecs, distance_type)
 
@@ -362,7 +384,22 @@ def _wave_step_jit(
             trunc_dims=trunc_dims,
         )
     else:
-        # Unfiltered pass from the default start node.
+        # Unfiltered pass from the default start node.  Build-time beam
+        # searches get a per-wave neighbor-code cache (one contiguous
+        # materialization of codes[adjacency]) for the same reason the
+        # query path has one: scattered 32-byte code gathers were ~60% of
+        # traversal time on TPU.  Size-gated statically by shapes.
+        # Tighter gate than the query path: wave buffers (the [B, C, C]
+        # prune tensors) coexist with the cache during builds.
+        build_cache_max = 4 << 30
+        ec_bytes = (
+            arrays.capacity * arrays.max_degree * arrays.codes.shape[1] * 4
+        )
+        edge_codes = (
+            arrays.codes[jnp.maximum(arrays.adjacency, 0)]
+            if use_codes and ec_bytes <= build_cache_max
+            else None
+        )
         start_ids = jnp.broadcast_to(
             arrays.default_start[None, None], (b, 1)
         ).astype(jnp.int32)
@@ -378,6 +415,7 @@ def _wave_step_jit(
             use_codes=use_codes,
             filtered=False,
             expand_factor=min(BUILD_EXPAND_FACTOR, l),
+            edge_codes=edge_codes,
         )
         # Visit-history candidates can (rarely) contain a revisited node:
         # a start node evicted from the beam may re-enter when its
@@ -403,6 +441,7 @@ def _wave_step_jit(
                 use_codes=use_codes,
                 filtered=True,
                 expand_factor=min(BUILD_EXPAND_FACTOR, l),
+                edge_codes=edge_codes,
             )
             cand_ids = jnp.concatenate([cand_ids, res_f.hist_ids], axis=1)
             cand_dists = jnp.concatenate(

@@ -48,6 +48,10 @@ from ..store import INVALID_ID, GraphArrays, lookup_label_starts
 INF = jnp.inf
 _I32_MAX = jnp.int32(2**31 - 1)
 
+# Neighbor-code cache budget: cap * R_max * W * 4 bytes must fit alongside
+# the store (v5e-class chips have 16 GB HBM; 1M x 768d 1-bit is ~6.2 GB).
+EDGE_CODE_CACHE_MAX_BYTES = 8 << 30
+
 
 def rows_member(sorted_rows: jax.Array, vals: jax.Array) -> jax.Array:
     """Exact membership test of ``vals`` [Q, R] in id-ascending
@@ -68,6 +72,66 @@ def rows_member(sorted_rows: jax.Array, vals: jax.Array) -> jax.Array:
         hi = jnp.where(go_right, hi, mid)
     ml = jnp.take_along_axis(sorted_rows, jnp.clip(lo, 0, l - 1), axis=1)
     return (lo < l) & (ml == vals)
+
+
+def merge_sorted_into_beam(
+    beam_d: jax.Array,  # f32[Q, L] ascending
+    beam_ids: jax.Array,  # i32[Q, L]
+    beam_vis: jax.Array,  # bool[Q, L]
+    cand_d: jax.Array,  # f32[Q, E] unsorted (INF for invalid)
+    cand_ids: jax.Array,  # i32[Q, E]
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Merge candidates into the sorted beam and keep the best L.
+
+    The beam is ascending by construction, so a full ``lax.sort`` of the
+    concatenation (O(log^2 n) bitonic passes) is wasted work: sort only
+    the candidate block, then run ONE bitonic-merge network (log2(n)
+    compare-exchange stages) over [beam ascending | pad | candidates
+    descending], which is a bitonic sequence.  Each stage is a reshape +
+    elementwise min/max — pure VPU work that XLA fuses.
+
+    Not stable across equal keys (a bitonic network can reorder ties);
+    callers must not rely on tie order.
+    """
+    q, bl = beam_d.shape
+    er = cand_d.shape[1]
+    cd, cid = lax.sort((cand_d, cand_ids), dimension=1, num_keys=1)
+    cd, cid = cd[:, ::-1], cid[:, ::-1]  # descending
+
+    n = 1 << (bl + er - 1).bit_length()
+    pad = n - bl - er
+    d = jnp.concatenate(
+        [beam_d, jnp.full((q, pad), INF, jnp.float32), cd], axis=1
+    )
+    ids = jnp.concatenate(
+        [beam_ids, jnp.full((q, pad), INVALID_ID, jnp.int32), cid], axis=1
+    )
+    vis = jnp.concatenate(
+        [beam_vis, jnp.zeros((q, pad + er), jnp.bool_)], axis=1
+    )
+
+    stride = n // 2
+    while stride >= 1:
+        ds = d.reshape(q, -1, 2, stride)
+        is_ = ids.reshape(q, -1, 2, stride)
+        vs = vis.reshape(q, -1, 2, stride)
+        lo_d, hi_d = ds[:, :, 0, :], ds[:, :, 1, :]
+        swap = lo_d > hi_d
+        new_lo = jnp.where(swap, hi_d, lo_d)
+        new_hi = jnp.where(swap, lo_d, hi_d)
+        d = jnp.stack([new_lo, new_hi], axis=2).reshape(q, n)
+        lo_i, hi_i = is_[:, :, 0, :], is_[:, :, 1, :]
+        ids = jnp.stack(
+            [jnp.where(swap, hi_i, lo_i), jnp.where(swap, lo_i, hi_i)],
+            axis=2,
+        ).reshape(q, n)
+        lo_v, hi_v = vs[:, :, 0, :], vs[:, :, 1, :]
+        vis = jnp.stack(
+            [jnp.where(swap, hi_v, lo_v), jnp.where(swap, lo_v, hi_v)],
+            axis=2,
+        ).reshape(q, n)
+        stride //= 2
+    return d[:, :bl], ids[:, :bl], vis[:, :bl]
 
 
 class SearchResult(NamedTuple):
@@ -145,6 +209,7 @@ def get_start_ids(
         "use_codes",
         "filtered",
         "expand_factor",
+        "track_hist",
     ),
 )
 def beam_search(
@@ -160,6 +225,8 @@ def beam_search(
     use_codes: bool,
     filtered: bool,
     expand_factor: int = 1,
+    edge_codes: Optional[jax.Array] = None,  # u32[cap, R, W]
+    track_hist: bool = True,
 ) -> SearchResult:
     """Batched greedy beam search.
 
@@ -218,8 +285,12 @@ def beam_search(
     beam_dists = jnp.take_along_axis(init_dists, order, axis=1)
     beam_visited = jnp.zeros((q, l), dtype=jnp.bool_)
 
-    hist_ids = jnp.full((q, h), INVALID_ID, dtype=jnp.int32)
-    hist_dists = jnp.full((q, h), INF, dtype=jnp.float32)
+    # The visit history feeds build-time candidate sets; the query path
+    # never reads it, so ``track_hist=False`` shrinks it to a dummy and
+    # skips two scatters per iteration.
+    h_cap = h if track_hist else 1
+    hist_ids = jnp.full((q, h_cap), INVALID_ID, dtype=jnp.int32)
+    hist_dists = jnp.full((q, h_cap), INF, dtype=jnp.float32)
     n_visited = jnp.zeros((q,), dtype=jnp.int32)
 
     state = (
@@ -284,10 +355,13 @@ def beam_search(
         # distinct per row).
         beam_visited = beam_visited.at[q_idx, sel_pos].max(active)
 
-        # Append to visit history (out-of-budget entries dropped above).
-        pos_w = jnp.where(active, pos, h)  # h is out of bounds -> dropped
-        hist_ids = hist_ids.at[q_idx, pos_w].set(sel_id, mode="drop")
-        hist_dists = hist_dists.at[q_idx, pos_w].set(sel_dist, mode="drop")
+        if track_hist:
+            # Append to visit history (out-of-budget entries dropped).
+            pos_w = jnp.where(active, pos, h)  # h out of bounds -> dropped
+            hist_ids = hist_ids.at[q_idx, pos_w].set(sel_id, mode="drop")
+            hist_dists = hist_dists.at[q_idx, pos_w].set(
+                sel_dist, mode="drop"
+            )
         n_visited = n_visited + jnp.sum(active, axis=1, dtype=jnp.int32)
 
         # --- expand: gather E adjacency rows (storage.visit_lsn analog) ---
@@ -312,31 +386,65 @@ def beam_search(
         in_beam = jnp.any(nbrs[:, :, None] == beam_ids[:, None, :], axis=-1)
         valid = valid & ~in_beam
 
-        # Dedup within the candidate row itself: sort the row by id and
-        # drop adjacent equals (the previous O(er^2) broadcast compare).
-        nbrs = lax.sort(jnp.where(valid, nbrs, _I32_MAX), dimension=1)
-        dup = jnp.concatenate(
-            [jnp.zeros((q, 1), jnp.bool_), nbrs[:, 1:] == nbrs[:, :-1]],
-            axis=1,
-        )
-        valid = (nbrs != _I32_MAX) & ~dup
-        nbrs = jnp.where(valid, nbrs, INVALID_ID)
+        # Candidate distances, aligned with the raw adjacency order.
+        # With an edge-code cache the codes arrive in the SAME contiguous
+        # rows as the adjacency gather (~R*W*4 bytes per frontier node) —
+        # the per-candidate 32-byte scattered gather of `codes[nbrs]` was
+        # measured at ~60% of total search time on TPU (tiny rows use a
+        # sliver of HBM bandwidth).
+        if use_codes and edge_codes is not None:
+            ec = edge_codes[jnp.maximum(sel_id, 0)]  # [Q, E, R, W]
+            x = jnp.bitwise_xor(ec, query_codes[:, None, None, :])
+            cand_d_raw = (
+                jnp.sum(
+                    lax.population_count(x).astype(jnp.int32), axis=-1
+                )
+                .reshape(q, er)
+                .astype(jnp.float32)
+            )
+        else:
+            cand_d_raw = dist_fn(nbrs)
 
-        cand_d = jnp.where(valid, dist_fn(nbrs), INF)
+        # Dedup within the candidate row.  Narrow rows: the O(er^2)
+        # broadcast compare is pure VPU work and beats a sort; wide rows:
+        # 2-operand sort by id + adjacent-equality.
+        if er <= 192:
+            nbr_dup = jnp.any(
+                (nbrs[:, :, None] == nbrs[:, None, :])
+                & (
+                    jnp.arange(er)[None, :, None]
+                    > jnp.arange(er)[None, None, :]
+                )
+                & valid[:, None, :],
+                axis=-1,
+            )
+            valid = valid & ~nbr_dup
+            nbrs = jnp.where(valid, nbrs, INVALID_ID)
+            cand_d = jnp.where(valid, cand_d_raw, INF)
+        else:
+            key = jnp.where(valid, nbrs, _I32_MAX)
+            s_key, s_d = lax.sort(
+                (key, jnp.where(valid, cand_d_raw, INF)),
+                dimension=1,
+                num_keys=1,
+            )
+            dup = jnp.concatenate(
+                [
+                    jnp.zeros((q, 1), jnp.bool_),
+                    s_key[:, 1:] == s_key[:, :-1],
+                ],
+                axis=1,
+            )
+            valid = (s_key != _I32_MAX) & ~dup
+            nbrs = jnp.where(valid, s_key, INVALID_ID)
+            cand_d = jnp.where(valid, s_d, INF)
         n_comps = n_comps + jnp.sum(valid, axis=1, dtype=jnp.int32)
 
-        # --- merge into beam: stable sort keeps ties in insertion order ---
-        all_ids = jnp.concatenate([beam_ids, nbrs], axis=1)
-        all_dists = jnp.concatenate([beam_dists, cand_d], axis=1)
-        all_vis = jnp.concatenate(
-            [beam_visited, jnp.zeros((q, er), dtype=jnp.bool_)], axis=1
+        # --- merge into beam: the beam is already ascending, so one
+        # bitonic-merge network replaces the full concat-sort ---
+        beam_dists, beam_ids, beam_visited = merge_sorted_into_beam(
+            beam_dists, beam_ids, beam_visited, cand_d, nbrs
         )
-        sorted_d, sorted_ids, sorted_vis = lax.sort(
-            (all_dists, all_ids, all_vis), dimension=1, num_keys=1
-        )
-        beam_dists = sorted_d[:, :l]
-        beam_ids = sorted_ids[:, :l]
-        beam_visited = sorted_vis[:, :l]
 
         return (
             beam_ids,

@@ -49,6 +49,10 @@ def _build_library() -> bool:
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _lib_failed
+    if os.environ.get("PGVS_NO_NATIVE"):
+        # Debug kill-switch: force the NumPy fallbacks (used to isolate
+        # native-code suspects when debugging memory issues).
+        return None
     if _lib is not None or _lib_failed:
         return _lib
     with _lock:
