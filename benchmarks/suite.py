@@ -1,0 +1,297 @@
+"""BASELINE.md benchmark configs (driver-defined targets).
+
+One config per subcommand, each printing JSON lines:
+
+- ``sift1m``    — SIFT-1M-like 128d L2, SBQ 2-bit, reference defaults.
+- ``glove``     — GloVe-100-like angular (cosine): recall@10 vs QPS sweep.
+- ``filtered``  — Cohere-768-like with label predicates (1 and 2 labels).
+- ``streaming`` — concurrent inserts + queries + deletes at high recall
+                  (the Cohere-768 50M streaming config scaled by env knobs;
+                  single-writer batched DML is the concurrency model).
+
+The reference publishes only relative numbers (README.md:17-21); these
+configs mirror the corpus shapes its benchmark used so absolute numbers
+recorded here are comparable across rounds.  Real datasets can be swapped
+in via the fvecs readers in pgvectorscale_tpu.io.datasets.
+
+Run on TPU:  PYTHONPATH=/root/repo:/root/.axon_site \
+             python benchmarks/suite.py <config>
+Env knobs:   SUITE_N (rows), SUITE_Q (queries).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache_tpu",
+    ),
+)
+
+
+def _emit(obj):
+    print(json.dumps(obj))
+    sys.stdout.flush()
+
+
+def _ground_truth(vectors, queries, k, distance_type, chunk=512):
+    """Exact top-k ids, chunked over queries to bound the [Q, N] scores."""
+    import jax
+    import jax.numpy as jnp
+
+    from pgvectorscale_tpu.distance import distance_matrix
+    from pgvectorscale_tpu.config import DistanceType
+    from pgvectorscale_tpu.distance import preprocess_cosine
+
+    dv = jnp.asarray(vectors)
+    dq = jnp.asarray(queries)
+    if distance_type == DistanceType.COSINE:
+        dv, dq = preprocess_cosine(dv), preprocess_cosine(dq)
+
+    @jax.jit
+    def topk(qs):
+        d = distance_matrix(qs, dv, distance_type)
+        _, ids = jax.lax.top_k(-d, k)
+        return ids
+
+    out = []
+    for i in range(0, dq.shape[0], chunk):
+        out.append(np.asarray(topk(dq[i : i + chunk])))
+    return np.concatenate(out, axis=0)
+
+
+def _recall(gt, ids):
+    q, k = gt.shape
+    hits = sum(
+        len(set(gt[r]) & set(int(i) for i in ids[r][:k] if i >= 0))
+        for r in range(q)
+    )
+    return hits / (q * k)
+
+
+def _timed_search(index, queries, k, params, reps=5, **kw):
+    index.search(queries, k=k, params=params, **kw)  # warm / compile
+    ts = []
+    ids = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        ids, _ = index.search(queries, k=k, params=params, **kw)
+        ts.append(time.perf_counter() - t0)
+    return ids, len(queries) / sorted(ts)[len(ts) // 2]
+
+
+def _build(vectors, config, **kw):
+    import jax
+
+    from pgvectorscale_tpu import DiskannIndex
+
+    t0 = time.perf_counter()
+    index = DiskannIndex.build(vectors, config, **kw)
+    jax.block_until_ready(index.arrays.adjacency)
+    build_s = time.perf_counter() - t0
+    _emit(
+        {
+            "phase": "build",
+            "n": len(vectors),
+            "seconds": round(build_s, 1),
+            "vectors_per_sec": round(len(vectors) / build_s, 1),
+        }
+    )
+    return index
+
+
+def run_sift1m(n, q):
+    from pgvectorscale_tpu import DistanceType, IndexConfig, QueryParams
+    from pgvectorscale_tpu.io.datasets import synthetic_corpus
+
+    k = 10
+    vectors, queries = synthetic_corpus("sift", n, q, seed=42)
+    config = IndexConfig(num_dimensions=128, distance_type=DistanceType.L2)
+    assert config.bits_per_dimension == 2  # <900 dims -> 2-bit default
+    index = _build(vectors, config)
+    gt = _ground_truth(vectors, queries, k, DistanceType.L2)
+    for L, resc, e in [(100, 50, 4), (100, 150, 4), (150, 300, 2),
+                       (200, 400, 2), (300, 600, 2)]:
+        params = QueryParams(search_list_size=L, rescore=resc, expand=e)
+        ids, qps = _timed_search(index, queries, k, params)
+        _emit({"L": L, "rescore": resc, "expand": e, "qps": round(qps, 1),
+               "recall": round(_recall(gt, ids), 4)})
+
+
+def run_glove(n, q):
+    from pgvectorscale_tpu import DistanceType, IndexConfig, QueryParams
+    from pgvectorscale_tpu.io.datasets import synthetic_corpus
+
+    k = 10
+    vectors, queries = synthetic_corpus("glove", n, q, seed=42)
+    config = IndexConfig(
+        num_dimensions=100, distance_type=DistanceType.COSINE
+    )
+    index = _build(vectors, config)
+    gt = _ground_truth(vectors, queries, k, DistanceType.COSINE)
+    # Angular recall/QPS curve: low-latency to high-recall operating points.
+    for L, resc, e in [(50, 30, 4), (100, 50, 4), (100, 150, 4),
+                       (150, 300, 2), (200, 450, 2), (300, 700, 2),
+                       (500, 1000, 2)]:
+        params = QueryParams(search_list_size=L, rescore=resc, expand=e)
+        ids, qps = _timed_search(index, queries, k, params)
+        _emit({"L": L, "rescore": resc, "expand": e, "qps": round(qps, 1),
+               "recall": round(_recall(gt, ids), 4)})
+
+
+def run_filtered(n, q):
+    """Label-filtered Cohere-768: every row carries 1-2 smallint labels;
+    queries constrain to one or two labels (the && overlap predicate)."""
+    from pgvectorscale_tpu import DistanceType, IndexConfig, QueryParams
+    from pgvectorscale_tpu.distance import distance_matrix, preprocess_cosine
+    from pgvectorscale_tpu.io.datasets import synthetic_corpus
+
+    import jax
+    import jax.numpy as jnp
+
+    k = 10
+    n_labels = 100
+    vectors, queries = synthetic_corpus("cohere", n, q, seed=42)
+    rng = np.random.default_rng(7)
+    # Zipf-ish label popularity, 1-2 labels per row.
+    pop = 1.0 / np.arange(1, n_labels + 1)
+    pop /= pop.sum()
+    l1 = rng.choice(n_labels, size=n, p=pop)
+    l2 = rng.choice(n_labels, size=n, p=pop)
+    labels = [
+        [int(a)] if a == b else [int(a), int(b)] for a, b in zip(l1, l2)
+    ]
+    config = IndexConfig(
+        num_dimensions=768,
+        distance_type=DistanceType.COSINE,
+        num_bits_per_dimension=1,
+        vector_dtype="bf16",
+        max_labels_per_vector=2,
+    )
+    index = _build(vectors, config, labels=labels)
+
+    dv = preprocess_cosine(jnp.asarray(vectors))
+    dq = preprocess_cosine(jnp.asarray(queries))
+    label_arr = np.full((n, 2), -1, np.int64)
+    for i, ls in enumerate(labels):
+        label_arr[i, : len(ls)] = ls
+
+    @jax.jit
+    def filtered_topk(qs, allowed):
+        d = distance_matrix(qs, dv, DistanceType.COSINE)
+        d = jnp.where(allowed, d, jnp.inf)
+        _, ids = jax.lax.top_k(-d, k)
+        return ids
+
+    for n_query_labels in (1, 2):
+        qlabels = [
+            sorted(rng.choice(n_labels, size=n_query_labels, replace=False,
+                              p=pop).tolist())
+            for _ in range(q)
+        ]
+        allowed = np.zeros((q, n), dtype=bool)
+        for r, ls in enumerate(qlabels):
+            m = np.zeros(n, dtype=bool)
+            for lbl in ls:
+                m |= (label_arr == lbl).any(axis=1)
+            allowed[r] = m
+        gt = np.asarray(filtered_topk(dq, jnp.asarray(allowed)))
+        params = QueryParams(search_list_size=150, rescore=300, expand=2)
+        ids, qps = _timed_search(
+            index, queries, k, params, query_labels=qlabels
+        )
+        _emit({"config": f"filtered-{n_query_labels}label",
+               "qps": round(qps, 1), "recall": round(_recall(gt, ids), 4)})
+
+
+def run_streaming(n, q):
+    """Concurrent-DML config: start from N/2 rows, stream inserts in
+    batches while querying between batches, then delete 5% and re-check
+    recall (single-writer batched DML, the reference's advisory-lock
+    concurrency model — ports.rs:160-171)."""
+    from pgvectorscale_tpu import DistanceType, IndexConfig, QueryParams
+    from pgvectorscale_tpu.io.datasets import synthetic_corpus
+
+    k = 10
+    vectors, queries = synthetic_corpus("cohere", n, q, seed=42)
+    n0 = n // 2
+    config = IndexConfig(
+        num_dimensions=768,
+        distance_type=DistanceType.COSINE,
+        num_bits_per_dimension=1,
+        vector_dtype="bf16",
+    )
+    index = _build(vectors[:n0], config)
+    params = QueryParams(search_list_size=150, rescore=300, expand=2)
+
+    batch = max(1024, n // 64)
+    ins_times, q_times = [], []
+    done = n0
+    while done < n:
+        take = min(batch, n - done)
+        t0 = time.perf_counter()
+        index.add(vectors[done : done + take])
+        ins_times.append((take, time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        index.search(queries, k=k, params=params)
+        q_times.append(time.perf_counter() - t0)
+        done += take
+    ins_rows = sum(t[0] for t in ins_times)
+    ins_secs = sum(t[1] for t in ins_times)
+    _emit({"phase": "stream-insert",
+           "rows": ins_rows,
+           "inserts_per_sec": round(ins_rows / ins_secs, 1),
+           "interleaved_qps": round(
+               q * len(q_times) / sum(q_times), 1)})
+
+    gt = _ground_truth(vectors, queries, k, DistanceType.COSINE)
+    ids, qps = _timed_search(index, queries, k, params)
+    _emit({"phase": "post-stream", "qps": round(qps, 1),
+           "recall": round(_recall(gt, ids), 4)})
+
+    # Delete 5%, verify deleted rows never surface.
+    rng = np.random.default_rng(3)
+    dead = rng.choice(n, size=n // 20, replace=False).astype(np.int64)
+    t0 = time.perf_counter()
+    index.delete_external(dead)
+    del_s = time.perf_counter() - t0
+    ids, _ = index.search(queries, k=k, params=params)
+    leaked = len(set(ids.ravel().tolist()) & set(dead.tolist()))
+    _emit({"phase": "delete", "rows": len(dead),
+           "seconds": round(del_s, 2), "leaked": leaked})
+
+
+CONFIGS = {
+    "sift1m": (run_sift1m, 1_000_000, 2048),
+    "glove": (run_glove, 1_000_000, 2048),
+    "filtered": (run_filtered, 1_000_000, 1024),
+    "streaming": (run_streaming, 200_000, 1024),
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config", choices=sorted(CONFIGS))
+    args = ap.parse_args(argv)
+    fn, def_n, def_q = CONFIGS[args.config]
+    n = int(os.environ.get("SUITE_N", def_n))
+    q = int(os.environ.get("SUITE_Q", def_q))
+    _emit({"config": args.config, "n": n, "q": q})
+    fn(n, q)
+
+
+if __name__ == "__main__":
+    main()
