@@ -34,3 +34,21 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_caches_between_modules():
+    """Release live executables/arrays after each test module.
+
+    A full-suite process otherwise accumulates 100+ compiled programs and
+    ~20 GB of cached buffers, and jaxlib 0.9.0's CPU client becomes
+    unstable in that state (segfaults inside compile/cache-serialization
+    paths late in the run — reproduced with the native library disabled,
+    MALLOC_CHECK_, a large stack, and single-threaded codegen, so it is
+    not our code's memory error).  The on-disk compilation cache makes
+    the subsequent re-loads cheap."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
