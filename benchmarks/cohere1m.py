@@ -81,14 +81,26 @@ def main():
     )
     del dv, dq
 
+    # Query sub-batches: at 768d the [Qb, rescore, D] rescore gathers are
+    # the peak search temp; Qb=512 keeps the search program + the store +
+    # the edge-code cache inside 16 GB HBM at 1M rows.
+    qb = 512
+
+    def search_all(params):
+        out = []
+        for i in range(0, q, qb):
+            ids, _ = index.search(queries[i : i + qb], k=k, params=params)
+            out.append(ids)
+        return np.concatenate(out, axis=0)
+
     for L, resc, e in [(100, 50, 4), (150, 300, 2), (200, 400, 2),
                        (300, 600, 2)]:
         params = QueryParams(search_list_size=L, rescore=resc, expand=e)
-        index.search(queries, k=k, params=params)  # warm
+        search_all(params)  # warm
         ts, ids = [], None
         for _ in range(5):
             t0 = time.perf_counter()
-            ids, _ = index.search(queries, k=k, params=params)
+            ids = search_all(params)
             ts.append(time.perf_counter() - t0)
         hits = sum(
             len(set(gt[r]) & set(int(i) for i in ids[r] if i >= 0))

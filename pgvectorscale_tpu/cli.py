@@ -38,6 +38,17 @@ def _load_vectors(path: str, max_rows=None) -> np.ndarray:
     raise SystemExit(f"unsupported vector file: {path}")
 
 
+def _maybe_profile(logdir):
+    """Optional jax.profiler trace region (stats.profiler_trace)."""
+    import contextlib
+
+    if not logdir:
+        return contextlib.nullcontext()
+    from .stats import profiler_trace
+
+    return profiler_trace(logdir)
+
+
 def cmd_build(args) -> int:
     from . import DiskannIndex, DistanceType, IndexConfig, StorageLayout
 
@@ -54,9 +65,10 @@ def cmd_build(args) -> int:
         vector_dtype=args.vector_dtype,
     )
     t0 = time.perf_counter()
-    index = DiskannIndex.build(
-        vectors, config, refine_passes=args.refine_passes
-    )
+    with _maybe_profile(args.profile_dir):
+        index = DiskannIndex.build(
+            vectors, config, refine_passes=args.refine_passes
+        )
     dt = time.perf_counter() - t0
     index.save(args.output)
     print(
@@ -83,7 +95,8 @@ def cmd_search(args) -> int:
         expand=args.expand,
     )
     t0 = time.perf_counter()
-    ids, dists = index.search(queries, k=args.k, params=params)
+    with _maybe_profile(args.profile_dir):
+        ids, dists = index.search(queries, k=args.k, params=params)
     dt = time.perf_counter() - t0
     ext = index.to_external(ids)
     for row in range(min(len(queries), args.show)):
@@ -193,6 +206,8 @@ def main(argv=None) -> int:
                    help="extra graph-refinement sweeps (quality vs time)")
     b.add_argument("--vector-dtype", default="f32", choices=["f32", "bf16"],
                    help="full-precision tier dtype (bf16 halves HBM)")
+    b.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the build here")
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", help="query a saved index")
@@ -203,6 +218,8 @@ def main(argv=None) -> int:
     s.add_argument("--rescore", type=int, default=50)
     s.add_argument("--expand", type=int, default=4,
                    help="multi-frontier width E (TPU knob)")
+    s.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the search here")
     s.add_argument("--show", type=int, default=10)
     s.add_argument("--max-rows", type=int, default=None)
     s.set_defaults(fn=cmd_search)

@@ -111,6 +111,19 @@ class IndexConfig:
     #   "bf16" — halves HBM (the MXU-native reduced precision); rescore
     #            error ~1e-3 relative, which reorders only near-ties
     vector_dtype: str = "f32"
+    # Which measure drives GRAPH CONSTRUCTION for SBQ storage (TPU-only
+    # knob).  The reference builds with the storage measure (Hamming on
+    # codes, sbq/mod.rs:161-190) because full vectors live on disk; here
+    # they are HBM-resident and MXU dots are cheap, so the default prunes
+    # with exact distances — measured +0.2-0.3 recall at 768d 1-bit where
+    # tie-heavy Hamming misroutes the graph:
+    #   "exact-prune" — traversal generates candidates via codes (cheap),
+    #                   candidate ordering + alpha-occlusion pruning use
+    #                   full-precision distances (default)
+    #   "storage"     — reference semantics end to end
+    #   "exact"       — traversal AND pruning full-precision (costliest,
+    #                   best graph; plain-storage build quality)
+    build_distance: str = "exact-prune"
 
     def __post_init__(self):
         if self.num_dimensions <= 0:
@@ -163,6 +176,10 @@ class IndexConfig:
             )
         if self.vector_dtype not in ("f32", "bf16"):
             raise ValueError("vector_dtype must be 'f32' or 'bf16'")
+        if self.build_distance not in ("exact-prune", "storage", "exact"):
+            raise ValueError(
+                "build_distance must be 'exact-prune', 'storage', or 'exact'"
+            )
 
     # ------------------------------------------------------------------
     # Derived values (resolution of 0-sentinels, analog of
@@ -208,6 +225,16 @@ class IndexConfig:
     @property
     def uses_sbq(self) -> bool:
         return self.storage_layout == StorageLayout.SBQ
+
+    @property
+    def build_traversal_uses_codes(self) -> bool:
+        """Build-time candidate generation measure (see build_distance)."""
+        return self.uses_sbq and self.build_distance != "exact"
+
+    @property
+    def build_prune_uses_codes(self) -> bool:
+        """Build-time prune/occlusion measure (see build_distance)."""
+        return self.uses_sbq and self.build_distance == "storage"
 
     # ------------------------------------------------------------------
     # Serialization (for checkpoints)

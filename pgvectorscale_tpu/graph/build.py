@@ -308,7 +308,8 @@ def insert_wave(
         max_iters=_build_max_iters(l),
         brute=brute,
         slice_rows=min(BRUTE_CANDIDATE_THRESHOLD + b, arrays.capacity),
-        use_codes=config.uses_sbq,
+        use_codes=config.build_traversal_uses_codes,
+        prune_use_codes=config.build_prune_uses_codes,
         code_bits=config.dims_to_index * config.bits_per_dimension,
         distance_type=config.distance_type,
         alphas=ctx.alphas,
@@ -327,6 +328,7 @@ def insert_wave(
         "brute",
         "slice_rows",
         "use_codes",
+        "prune_use_codes",
         "code_bits",
         "distance_type",
         "alphas",
@@ -346,6 +348,7 @@ def _wave_step_jit(
     brute: bool,
     slice_rows: int,
     use_codes: bool,
+    prune_use_codes: Optional[bool] = None,
     code_bits: int,
     distance_type: DistanceType,
     alphas: tuple,
@@ -355,7 +358,14 @@ def _wave_step_jit(
     trunc_dims: int = 0,
 ) -> GraphArrays:
     """The fused wave step.  One dispatch per wave keeps the build off the
-    host (the per-op eager path pays tunnel latency per call)."""
+    host (the per-op eager path pays tunnel latency per call).
+
+    ``use_codes`` drives candidate GENERATION (traversal measure);
+    ``prune_use_codes`` drives candidate ordering + alpha-occlusion (see
+    IndexConfig.build_distance — the exact-prune default regenerates
+    candidate distances full-precision before the prune)."""
+    if prune_use_codes is None:
+        prune_use_codes = use_codes
     b = node_ids.shape[0]
     l = search_list_size
     safe_ids = jnp.maximum(node_ids, 0)
@@ -379,7 +389,7 @@ def _wave_step_jit(
             prefix,
             slice_rows=slice_rows,
             num_candidates=min(l + 1, slice_rows),
-            use_codes=use_codes,
+            use_codes=prune_use_codes,  # exact-prune: exact seed candidates
             distance_type=distance_type,
             trunc_dims=trunc_dims,
         )
@@ -396,7 +406,9 @@ def _wave_step_jit(
             arrays.capacity * arrays.max_degree * arrays.codes.shape[1] * 4
         )
         edge_codes = (
-            arrays.codes[jnp.maximum(arrays.adjacency, 0)]
+            arrays.codes[jnp.maximum(arrays.adjacency, 0)].reshape(
+                arrays.capacity, -1
+            )  # flat [cap, R*W]: a [R, W] minor pair pads W to 128 lanes
             if use_codes and ec_bytes <= build_cache_max
             else None
         )
@@ -453,7 +465,7 @@ def _wave_step_jit(
         # Refinement: keep current neighbors in contention so a re-insert
         # never loses good edges.
         existing = arrays.adjacency[safe_ids]
-        if use_codes:
+        if prune_use_codes:
             from ..ops.hamming import hamming_gather
 
             ex_d = hamming_gather(
@@ -481,6 +493,28 @@ def _wave_step_jit(
         cand_dists = jnp.concatenate([cand_dists, ex_d], axis=1)
         cand_ids, cand_dists = _dedup_candidates(cand_ids, cand_dists)
 
+    if use_codes and not prune_use_codes and not brute:
+        # exact-prune: candidates were GENERATED by Hamming traversal;
+        # re-measure them full-precision so the sort order and the
+        # alpha-occlusion geometry the prune sees are exact.  One gather +
+        # one MXU batch per wave.
+        safe_c = jnp.maximum(cand_ids, 0)
+        cvecs = arrays.vectors[safe_c][..., :trunc_dims].astype(jnp.float32)
+        if distance_type == DistanceType.L2:
+            diff = cvecs - query_vecs[:, None, :]
+            ex = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
+        else:
+            dots = jnp.einsum(
+                "bcd,bd->bc", cvecs, query_vecs,
+                preferred_element_type=jnp.float32,
+            )
+            ex = (
+                -dots
+                if distance_type == DistanceType.INNER_PRODUCT
+                else jnp.maximum(1.0 - dots, 0.0)
+            )
+        cand_dists = jnp.where(cand_ids == INVALID_ID, jnp.inf, ex)
+
     # --- prune into neighbor lists ---
     nbr_ids, _ = prune_candidate_sets(
         arrays,
@@ -488,7 +522,7 @@ def _wave_step_jit(
         cand_ids,
         cand_dists,
         node_labels,
-        use_codes=use_codes,
+        use_codes=prune_use_codes,
         code_bits=code_bits,
         distance_type=distance_type,
         alphas=alphas,
@@ -528,7 +562,7 @@ def _wave_step_jit(
             edge_dst,
             edge_src,
             rejected,
-            use_codes=use_codes,
+            use_codes=prune_use_codes,
             code_bits=code_bits,
             distance_type=distance_type,
             alphas=alphas,
@@ -705,7 +739,7 @@ def _prune_rows_batch(
         arrays,
         jnp.asarray(row_ids_np),
         jnp.asarray(incoming_np),
-        use_codes=config.uses_sbq,
+        use_codes=config.build_prune_uses_codes,
         code_bits=config.dims_to_index * config.bits_per_dimension,
         distance_type=config.distance_type,
         alphas=ctx.alphas,
@@ -846,7 +880,7 @@ def finalize(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
             arrays,
             batch,
             inc,
-            use_codes=config.uses_sbq,
+            use_codes=config.build_prune_uses_codes,
             code_bits=config.dims_to_index * config.bits_per_dimension,
             distance_type=config.distance_type,
             alphas=ctx.alphas,

@@ -225,7 +225,7 @@ def beam_search(
     use_codes: bool,
     filtered: bool,
     expand_factor: int = 1,
-    edge_codes: Optional[jax.Array] = None,  # u32[cap, R, W]
+    edge_codes: Optional[jax.Array] = None,  # u32[cap, R*W] flat
     track_hist: bool = True,
 ) -> SearchResult:
     """Batched greedy beam search.
@@ -393,12 +393,15 @@ def beam_search(
         # measured at ~60% of total search time on TPU (tiny rows use a
         # sliver of HBM bandwidth).
         if use_codes and edge_codes is not None:
-            ec = edge_codes[jnp.maximum(sel_id, 0)]  # [Q, E, R, W]
-            x = jnp.bitwise_xor(ec, query_codes[:, None, None, :])
+            # Cache rows are FLAT u32[R*W] (see _build_edge_codes: a
+            # [R, W] minor pair would pad W up to 128 lanes, 2x HBM).
+            w = query_codes.shape[1]
+            ec = edge_codes[jnp.maximum(sel_id, 0)]  # [Q, E, R*W]
+            qtile = jnp.tile(query_codes, (1, r_max))  # [Q, R*W]
+            x = jnp.bitwise_xor(ec, qtile[:, None, :])
+            pops = lax.population_count(x).astype(jnp.int32)
             cand_d_raw = (
-                jnp.sum(
-                    lax.population_count(x).astype(jnp.int32), axis=-1
-                )
+                jnp.sum(pops.reshape(q, e, r_max, w), axis=-1)
                 .reshape(q, er)
                 .astype(jnp.float32)
             )

@@ -61,33 +61,35 @@ from .graph.search import EDGE_CODE_CACHE_MAX_BYTES
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("chunk",))
 def _edge_codes_chunk(
-    out: jax.Array,  # u32[cap, R, W] (donated)
+    out: jax.Array,  # u32[cap, R*W] (donated)
     codes: jax.Array,  # u32[cap, W]
     adjacency: jax.Array,  # i32[cap, R]
     i0: jax.Array,  # i32 scalar chunk start
     *,
     chunk: int,
 ) -> jax.Array:
-    rows = lax.dynamic_slice(
-        adjacency, (i0, 0), (chunk, adjacency.shape[1])
-    )
-    vals = codes[jnp.maximum(rows, 0)]
-    return lax.dynamic_update_slice(out, vals, (i0, 0, 0))
+    r = adjacency.shape[1]
+    rows = lax.dynamic_slice(adjacency, (i0, 0), (chunk, r))
+    vals = codes[jnp.maximum(rows, 0)].reshape(chunk, -1)
+    return lax.dynamic_update_slice(out, vals, (i0, 0))
 
 
 def _build_edge_codes(arrays: GraphArrays) -> jax.Array:
-    """Materialize codes[adjacency]: u32[cap, R_max, W] (invalid edges
+    """Materialize codes[adjacency] FLAT: u32[cap, R_max*W] (invalid edges
     gather row 0; the search masks them by id).
 
-    Chunked over rows with the output buffer donated: a single whole-array
-    gather program plans output + index + gather temps simultaneously
-    (measured 17.3 GB for a 6.2 GB cache at 1M x 768d — over HBM);
+    Flat, not [cap, R, W]: TPU tiles the two minor dims to (8, 128), so a
+    W=24 minor dim pads 2x — measured as an 11.45 GB relayout copy of a
+    5.8 GB cache at 1M x 768d.  The flat row padding is ~7%.
+
+    Chunked over rows with the output donated: a single whole-array gather
+    program additionally plans output + index + gather temps at once;
     chunking bounds the transient to ~chunk*R*W*4 bytes on top of the
     in-place output."""
     cap, r = arrays.adjacency.shape
     w = arrays.codes.shape[1]
     chunk = min(cap, max(1, (512 << 20) // max(r * w * 4, 1)))
-    out = jnp.zeros((cap, r, w), arrays.codes.dtype)
+    out = jnp.zeros((cap, r * w), arrays.codes.dtype)
     for i0 in range(0, cap, chunk):
         # dynamic_slice clamps the start index, so a partial tail chunk
         # re-covers (identically) the last rows instead of overflowing.
@@ -979,7 +981,7 @@ class SearchIterator:
 def _search_jit(
     arrays: GraphArrays,
     sbq_stats: sbq.SbqStats,
-    edge_codes,  # u32[cap, R, W] neighbor-code cache, or None
+    edge_codes,  # u32[cap, R*W] flat neighbor-code cache, or None
     raw_queries: jax.Array,  # f32[Q, D]
     query_labels: jax.Array,  # i32[Q, Lq]
     *,

@@ -97,6 +97,7 @@ def build_wave_step(
     max_iters: int,
     distance_type: DistanceType,
     use_codes: bool,
+    prune_use_codes: bool = None,
     alphas: tuple,
     num_neighbors: int,
     r_max: int,
@@ -118,6 +119,7 @@ def build_wave_step(
         brute=False,
         slice_rows=1,
         use_codes=use_codes,
+        prune_use_codes=prune_use_codes,
         code_bits=code_bits,
         distance_type=distance_type,
         alphas=alphas,
@@ -148,7 +150,8 @@ def sharded_build_step(
         search_list_size=l,
         max_iters=max_iters or (l + l // 2 + 16),
         distance_type=config.distance_type,
-        use_codes=config.uses_sbq,
+        use_codes=config.build_traversal_uses_codes,
+        prune_use_codes=config.build_prune_uses_codes,
         alphas=alpha_schedule(config.max_alpha),
         num_neighbors=config.num_neighbors,
         r_max=config.max_neighbors_during_build,

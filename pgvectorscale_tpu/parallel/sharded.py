@@ -222,7 +222,7 @@ def _sharded_finalize(stacked: GraphArrays, config: IndexConfig) -> GraphArrays:
     n_over = int(np.asarray(counts).max())
     prune = functools.partial(
         _prune_rows_core,
-        use_codes=config.uses_sbq,
+        use_codes=config.build_prune_uses_codes,
         code_bits=config.dims_to_index * config.bits_per_dimension,
         distance_type=config.distance_type,
         alphas=tuple(_alpha_schedule(config.max_alpha)),
@@ -303,6 +303,7 @@ def _sharded_add_ingest(
         "brute",
         "slice_rows",
         "use_codes",
+        "prune_use_codes",
         "code_bits",
         "distance_type",
         "alphas",
@@ -503,7 +504,8 @@ class ShardedDiskannIndex:
         statics = dict(
             search_list_size=config.search_list_size,
             max_iters=_build_max_iters(config.search_list_size),
-            use_codes=config.uses_sbq,
+            use_codes=config.build_traversal_uses_codes,
+            prune_use_codes=config.build_prune_uses_codes,
             code_bits=config.dims_to_index * config.bits_per_dimension,
             distance_type=config.distance_type,
             alphas=tuple(_alpha_schedule(config.max_alpha)),
@@ -788,7 +790,8 @@ class ShardedDiskannIndex:
             slice_rows=1,
             search_list_size=config.search_list_size,
             max_iters=_build_max_iters(config.search_list_size),
-            use_codes=config.uses_sbq,
+            use_codes=config.build_traversal_uses_codes,
+            prune_use_codes=config.build_prune_uses_codes,
             code_bits=config.dims_to_index * config.bits_per_dimension,
             distance_type=config.distance_type,
             alphas=tuple(_alpha_schedule(config.max_alpha)),

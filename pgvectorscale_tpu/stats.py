@@ -12,6 +12,7 @@ On TPU the counters are device scalars carried through the jitted search
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import time
 from typing import Optional
@@ -49,6 +50,29 @@ class GreedySearchStats:
             ),
             iterations=max(self.iterations, other.iterations),
         )
+
+
+@contextlib.contextmanager
+def profiler_trace(logdir: str):
+    """Capture a device profile around a build/search region.
+
+    The TPU analog of the reference's compile-time tracing hooks
+    (SURVEY.md §5: per-page/per-comparison counters, stats.rs:3-27):
+    wraps the region in a ``jax.profiler`` trace whose output is viewable
+    in TensorBoard/XProf (per-kernel device timelines, HBM usage).
+
+        with profiler_trace("/tmp/trace"):
+            index.search(queries)
+
+    Also exposed as ``--profile-dir`` on the CLI search/build commands.
+    """
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
 
 
 @dataclasses.dataclass

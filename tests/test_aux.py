@@ -2,6 +2,7 @@
 migration guard, streaming stats, CLI, datasets IO, debug helpers."""
 
 import json
+import os
 import subprocess
 import sys
 
@@ -206,3 +207,19 @@ def test_cli_bench_smoke(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     first = json.loads(r.stdout.strip().splitlines()[0])
     assert len(first["ids"]) == 3
+
+
+def test_profiler_trace(tmp_path, rng):
+    """jax.profiler hook (SURVEY.md §5 tracing parity): the trace context
+    captures a device profile viewable in TensorBoard/XProf."""
+    import jax.numpy as jnp
+
+    from pgvectorscale_tpu.stats import profiler_trace
+
+    logdir = str(tmp_path / "trace")
+    with profiler_trace(logdir):
+        jnp.dot(
+            jnp.ones((128, 128)), jnp.ones((128, 128))
+        ).block_until_ready()
+    prof = os.path.join(logdir, "plugins", "profile")
+    assert os.path.isdir(prof) and os.listdir(prof)

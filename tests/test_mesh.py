@@ -90,7 +90,8 @@ def test_sharded_build_step_matches_single_device(small_index):
         search_list_size=config.search_list_size,
         max_iters=24,
         distance_type=config.distance_type,
-        use_codes=config.uses_sbq,
+        use_codes=config.build_traversal_uses_codes,
+        prune_use_codes=config.build_prune_uses_codes,
         alphas=alpha_schedule(config.max_alpha),
         num_neighbors=config.num_neighbors,
         r_max=config.max_neighbors_during_build,
