@@ -101,8 +101,9 @@ def main():
     # points carry a wider rescore window.
     sweep = [
         QueryParams(search_list_size=100, rescore=50),
+        QueryParams(search_list_size=100, rescore=200, expand=2),
+        QueryParams(search_list_size=150, rescore=200, expand=2),
         QueryParams(search_list_size=150, rescore=300, expand=2),
-        QueryParams(search_list_size=150, rescore=320, expand=4),
         QueryParams(search_list_size=200, rescore=400, expand=2),
         QueryParams(search_list_size=300, rescore=700, expand=2),
     ]
