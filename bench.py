@@ -5,8 +5,8 @@ search_list_size=100, SBQ 2-bit, rescore=50 — README.md:325-332,388) on a
 synthetic low-rank Cohere-like corpus, and reports batched query throughput
 on one chip.
 
-Prints ONE JSON line:
-  {"metric": "qps@recall", "value": <QPS>, "unit": "queries/sec",
+Prints ONE JSON line on stdout:
+  {"metric": "qps@recall>=0.9", "value": <QPS>, "unit": "queries/sec",
    "vs_baseline": <QPS / 10_000>, ...extras}
 
 ``vs_baseline`` is normalized against a nominal 10k QPS for the reference
@@ -14,12 +14,21 @@ CPU extension at the same recall on a large multicore box (the reference
 publishes only relative numbers vs Pinecone — README.md:17-21 — so this is
 the comparison anchor recorded in BASELINE.md).
 
+Timeout-proof by construction (the round-2 bench timed out and left ZERO
+evidence): progress goes to stderr (flushed), a self-imposed deadline
+(BENCH_DEADLINE_S, default 1200s) bounds the sweep, and SIGTERM/SIGALRM
+handlers print the best-so-far summary before exiting — so an external
+``timeout`` still yields a parseable result line.
+
 Environment knobs: BENCH_N (default 100_000), BENCH_Q (default 8192),
-BENCH_D (default 128).
+BENCH_D (default 128), BENCH_DEADLINE_S (default 1200), BENCH_COLD=1
+(also measure a second, warm-program build).
 """
 
 import json
 import os
+import signal
+import sys
 import time
 
 import numpy as np
@@ -30,6 +39,51 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
 )
+
+_T0 = time.perf_counter()
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 1200))
+
+# Best-so-far summary; signal handlers and the normal exit path both print
+# it, exactly once.
+_summary = {
+    "metric": "qps@recall>=0.9",
+    "value": 0.0,
+    "unit": "queries/sec",
+    "vs_baseline": 0.0,
+    "status": "starting",
+}
+_printed = False
+
+
+def _status(msg):
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}", file=sys.stderr)
+    sys.stderr.flush()
+
+
+def _print_summary():
+    global _printed
+    if _printed:
+        return
+    _printed = True
+    print(json.dumps(_summary))
+    sys.stdout.flush()
+
+
+def _on_signal(signum, frame):
+    _summary["status"] = f"interrupted:{signal.Signals(signum).name}"
+    _print_summary()
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGALRM, _on_signal)
+# Hard alarm slightly past the deadline: even a hung device call gets
+# preempted in time to emit the summary.
+signal.alarm(int(_DEADLINE_S + 120))
+
+
+def _time_left():
+    return _DEADLINE_S - (time.perf_counter() - _T0)
 
 
 def main():
@@ -52,20 +106,28 @@ def main():
     queries = rng.standard_normal((q, rank)).astype(np.float32) @ basis
 
     config = IndexConfig(num_dimensions=d, distance_type=DistanceType.COSINE)
+    _summary.update(n=n, dims=d, batch=q, device=str(jax.devices()[0].platform))
 
-    # First build absorbs the one-time XLA compiles (wave/ingest/finalize
-    # programs — persisted to the compile cache); the second, same-shape
-    # build measures steady-state throughput, which is what an operator
-    # sees for every build after the first on a warm serving fleet.
-    t0 = time.perf_counter()
-    index = DiskannIndex.build(vectors, config)
-    jax.block_until_ready(index.arrays.adjacency)
-    build_cold_s = time.perf_counter() - t0
+    # ONE timed build in the hot path (the round-2 double build blew the
+    # driver's budget).  The persistent compile cache makes this warm on
+    # any repeat run; BENCH_COLD=1 opts into an extra warm-program build
+    # to separate compile time from steady-state throughput.
+    _status(f"building index: {n} x {d}")
     t0 = time.perf_counter()
     index = DiskannIndex.build(vectors, config)
     jax.block_until_ready(index.arrays.adjacency)
     build_s = time.perf_counter() - t0
-    build_vps = n / build_s
+    _summary["build_vectors_per_sec"] = round(n / build_s, 1)
+    _summary["build_seconds"] = round(build_s, 1)
+    _summary["status"] = "built"
+    _status(f"build done in {build_s:.1f}s ({n / build_s:.0f} vec/s)")
+    if os.environ.get("BENCH_COLD") == "1":
+        t0 = time.perf_counter()
+        index = DiskannIndex.build(vectors, config)
+        jax.block_until_ready(index.arrays.adjacency)
+        warm_s = time.perf_counter() - t0
+        _summary["build_warm_vectors_per_sec"] = round(n / warm_s, 1)
+        _status(f"warm build in {warm_s:.1f}s ({n / warm_s:.0f} vec/s)")
 
     # Exact ground truth (on device) for recall measurement.
     dev_vectors = preprocess_cosine(jnp.asarray(vectors))
@@ -76,6 +138,8 @@ def main():
         distance_type=DistanceType.COSINE,
     )
     gt_ids = np.asarray(gt_ids)
+    gt_sets = [set(map(int, row)) for row in gt_ids]
+    _status("ground truth ready")
 
     def measure(params):
         index.search(queries, k=k, params=params)  # warmup/compile
@@ -88,66 +152,78 @@ def main():
             samples.append(time.perf_counter() - t0)
         qps = q / sorted(samples)[len(samples) // 2]
         hits = sum(
-            len(set(gt_ids[r]) & set(int(i) for i in ids[r] if i >= 0))
+            len(gt_sets[r] & set(int(i) for i in ids[r] if i >= 0))
             for r in range(q)
         )
         return qps, hits / (q * k)
 
-    # Operating-point sweep: report the fastest point achieving >= 0.9
-    # recall@10 (the reference's headline is QPS at high recall;
-    # README.md:17-21).  Reference defaults (L=100, rescore=50) included.
-    # The 2-bit SBQ quantizer ordering caps recall ~0.70 at rescore=50 on
-    # this corpus (measured brute-force ceiling), so the >=0.9 operating
-    # points carry a wider rescore window.
+    # Operating-point sweep, cheap->expensive.  Two headline regimes:
+    # the >=0.9 gate (the reference's in-repo recall gate,
+    # filtering_tests.rs:1005-1019) and the >=0.99 point (the reference's
+    # published QPS/latency regime, README.md:17-21).  The sweep stops at
+    # the deadline or once both are found.
     sweep = [
         QueryParams(search_list_size=100, rescore=50),
-        QueryParams(search_list_size=100, rescore=200, expand=2),
-        QueryParams(search_list_size=150, rescore=200, expand=2),
-        QueryParams(search_list_size=150, rescore=300, expand=2),
-        QueryParams(search_list_size=200, rescore=400, expand=2),
-        QueryParams(search_list_size=300, rescore=700, expand=2),
+        QueryParams(search_list_size=100, rescore=150),
+        QueryParams(search_list_size=150, rescore=300),
+        QueryParams(search_list_size=200, rescore=400),
+        QueryParams(search_list_size=300, rescore=700),
+        QueryParams(search_list_size=400, rescore=1000),
+        QueryParams(search_list_size=512, rescore=1500),
+        QueryParams(search_list_size=700, rescore=2000),
     ]
     points = []
     for params in sweep:
-        qps, recall = measure(params)
-        points.append(
-            {
-                "L": params.search_list_size,
-                "rescore": params.rescore,
-                "expand": params.expand,
-                "qps": round(qps, 1),
-                "recall": round(recall, 4),
-            }
-        )
-        if recall >= 0.95:
+        if _time_left() < 60 and points:
+            _status("deadline: stopping sweep")
             break
-    passing = [p for p in points if p["recall"] >= 0.9]
-    best = (
-        max(passing, key=lambda p: p["qps"])
-        if passing
-        else max(points, key=lambda p: p["recall"])
-    )
+        qps, recall = measure(params)
+        point = {
+            "L": params.search_list_size,
+            "rescore": params.rescore,
+            "expand": params.expand,
+            "qps": round(qps, 1),
+            "recall": round(recall, 4),
+        }
+        points.append(point)
+        _status(f"sweep {point}")
 
-    print(
-        json.dumps(
-            {
-                "metric": "qps@recall>=0.9",
-                "value": best["qps"],
-                "unit": "queries/sec",
-                "vs_baseline": round(best["qps"] / 10_000.0, 3),
-                "recall_at_10": best["recall"],
-                "operating_point": {"L": best["L"], "rescore": best["rescore"]},
-                "sweep": points,
-                "build_vectors_per_sec": round(build_vps, 1),
-                "build_cold_vectors_per_sec": round(n / build_cold_s, 1),
-                "n": n,
-                "dims": d,
-                "batch": q,
-                "device": str(jax.devices()[0].platform),
-            }
+        # Update the summary incrementally so any interrupt reports the
+        # best-so-far numbers.
+        passing = [p for p in points if p["recall"] >= 0.9]
+        best = (
+            max(passing, key=lambda p: p["qps"])
+            if passing
+            else max(points, key=lambda p: p["recall"])
         )
-    )
+        hi = [p for p in points if p["recall"] >= 0.99]
+        best99 = max(hi, key=lambda p: p["qps"]) if hi else None
+        _summary.update(
+            value=best["qps"],
+            vs_baseline=round(best["qps"] / 10_000.0, 3),
+            recall_at_10=best["recall"],
+            operating_point={"L": best["L"], "rescore": best["rescore"]},
+            sweep=points,
+            status="sweeping",
+        )
+        if best99:
+            _summary["qps_at_recall_0.99"] = best99["qps"]
+            _summary["operating_point_0.99"] = {
+                "L": best99["L"],
+                "rescore": best99["rescore"],
+                "recall": best99["recall"],
+            }
+        if best99 is not None and passing:
+            break
+
+    _summary["status"] = "complete"
+    _print_summary()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # still emit evidence on any failure
+        _summary["status"] = f"error:{type(e).__name__}:{e}"
+        _print_summary()
+        raise

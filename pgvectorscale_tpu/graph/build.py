@@ -179,8 +179,12 @@ def append_backlinks(
     add_neighbors pruning when the list exceeds max_neighbors,
     graph/mod.rs:212-266).
 
-    Implementation: sort edges by dst, compute each edge's rank within its
-    dst run, write at position degree[dst] + rank when it fits.
+    Implementation: sort edges by the composite (dst, src) key, compute
+    each edge's rank within its dst run, write at position degree[dst] +
+    rank when it fits.  The (dst, src) composite makes intra-batch
+    duplicate pairs ADJACENT, so the dedup is an O(E) neighbor-equality
+    check instead of the O(E^2) broadcast compare it replaced (4.2e10
+    predicate evaluations per wave at B=4096, R=50).
     """
     cap, r_max = adjacency.shape
     e = edge_dst.shape[0]
@@ -190,13 +194,12 @@ def append_backlinks(
     valid = valid & (edge_src != edge_dst)
     dst = jnp.where(valid, edge_dst, jnp.int32(2**31 - 1))
 
-    order = jnp.argsort(dst)
-    s_dst = dst[order]
-    s_src = edge_src[order]
-    s_valid = valid[order]
-
-    # Rank within equal-dst run.
+    # Two-key lexicographic sort by (dst, src).  (A packed 64-bit key
+    # would need jax_enable_x64; num_keys=2 avoids the dtype trap.)
     idx = jnp.arange(e, dtype=jnp.int32)
+    s_dst, s_src, s_valid, order = lax.sort(
+        (dst, edge_src, valid, idx), num_keys=2
+    )
     is_start = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), s_dst[1:] != s_dst[:-1]]
     )
@@ -210,12 +213,17 @@ def append_backlinks(
     already = jnp.any(rows == s_src[:, None], axis=1)
     s_valid = s_valid & ~already
 
-    # Also dedup identical (dst, src) pairs within this batch: keep first.
-    same_pair = (s_dst[:, None] == s_dst[None, :]) & (
-        s_src[:, None] == s_src[None, :]
+    # Dedup identical (dst, src) pairs within this batch: the composite
+    # sort put them adjacent, keep the first of each run.
+    dup = (
+        jnp.concatenate(
+            [
+                jnp.zeros((1,), jnp.bool_),
+                (s_dst[1:] == s_dst[:-1]) & (s_src[1:] == s_src[:-1]),
+            ]
+        )
+        & s_valid
     )
-    earlier = idx[:, None] > idx[None, :]
-    dup = jnp.any(same_pair & earlier & s_valid[None, :], axis=1)
     s_valid = s_valid & ~dup
 
     # Re-rank counting only valid edges.
@@ -250,6 +258,9 @@ class BuildContext:
     def __init__(self, config: IndexConfig):
         self.config = config
         self.alphas = _alpha_schedule(config.max_alpha)
+        # Optional WriteStats sink (stats.rs:242-265 analog); attached by
+        # DiskannIndex.build so wave/prune dispatches are counted.
+        self.stats = None
 
     @property
     def r(self) -> int:
@@ -300,6 +311,8 @@ def insert_wave(
         n_existing is not None and n_existing <= BRUTE_CANDIDATE_THRESHOLD
     )
     prefix = (0 if n_existing is None else int(n_existing)) + n_real
+    if ctx.stats is not None:
+        ctx.stats.num_waves += 1
     return _wave_step_jit(
         arrays,
         jnp.asarray(node_ids_np, dtype=jnp.int32),
@@ -866,6 +879,8 @@ def finalize(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
         arrays, num_neighbors=config.num_neighbors
     )
     n_over = int(count)  # the only host transfer: one scalar
+    if ctx.stats is not None:
+        ctx.stats.num_prunes += n_over
     for i in range(0, n_over, PRUNE_BATCH):
         chunk = order[i : i + PRUNE_BATCH]  # static slice, stays on device
         batch = jnp.where(chunk == _I32_MAX, INVALID_ID, chunk)

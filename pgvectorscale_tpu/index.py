@@ -220,6 +220,10 @@ class DiskannIndex:
         # search inner loop reads ~R*W*4-byte blocks instead of scattered
         # 32-byte rows (measured ~60% of TPU search time).  The spiritual
         # analog of the reference's QuantizedVectorCache (sbq/cache.rs).
+        # Stored as (codes_ref, adjacency_ref, cache) keyed by tensor
+        # IDENTITY: any mutation produces new tensors, so staleness checks
+        # are O(1) and concurrent readers can never pair a cache with the
+        # wrong arrays snapshot (single-writer/snapshot-reader model).
         self._edge_codes = None
 
     @property
@@ -361,20 +365,26 @@ class DiskannIndex:
         )
         index = cls(config, arrays, stats, external_ids)
         write_stats = WriteStats()
+        index._ctx.stats = write_stats  # wave/prune dispatch counters
         if n > 0:
             # Phase reporting mirrors the reference's 3 build phases
             # surfaced in pg_stat_progress_create_index
             # (ambuildphasename, build.rs:1154-1166).
             if progress_callback:
                 progress_callback("training quantizer", n, n)
+            import time as _time
+
+            t_ins = _time.perf_counter()
             index._insert_ids_into_graph(
                 np.arange(n, dtype=np.int32),
                 initial_wave=initial_wave,
                 max_wave=max_wave,
                 progress_callback=progress_callback,
             )
+            write_stats.insert_s = _time.perf_counter() - t_ins
             if progress_callback:
                 progress_callback("finalizing graph", 0, n)
+            t_fin = _time.perf_counter()
             index.arrays = finalize(index.arrays, index._ctx)
             # Optional refinement: re-insert every node against the
             # finished graph (keeping existing neighbors in contention) —
@@ -383,6 +393,7 @@ class DiskannIndex:
             for _ in range(refine_passes):
                 index._refine_pass()
                 index.arrays = finalize(index.arrays, index._ctx)
+            write_stats.finalize_s = _time.perf_counter() - t_fin
             if progress_callback:
                 progress_callback("finalizing graph", n, n)
         write_stats.num_nodes = n
@@ -535,7 +546,8 @@ class DiskannIndex:
         from .graph.build import repair_orphans
 
         self.arrays = repair_orphans(self.arrays, self._ctx)
-        self._edge_codes = None  # adjacency changed; cache is stale
+        # No cache invalidation needed: the edge-code cache is keyed by
+        # tensor identity and the adjacency tensor just changed.
         return new_ids
 
     # ------------------------------------------------------------------
@@ -583,10 +595,14 @@ class DiskannIndex:
         # the search list size (scan.rs:244-305).  The VISIT budget stays
         # keyed to the user's L — extra width only widens the merge.
         beam_width = max(l, params.rescore + k if use_exact else 0)
+        # One snapshot read: concurrent writers swap self.arrays atomically
+        # (GIL attribute store), so the search sees a consistent index state
+        # — the reader half of the single-writer concurrency contract.
+        arrays = self.arrays
         ids, dists, search_res = _search_jit(
-            self.arrays,
+            arrays,
             self.sbq_stats,
-            self._edge_code_cache(),
+            self._edge_code_cache(arrays),
             jnp.asarray(queries),
             ql,
             config=config,
@@ -608,20 +624,31 @@ class DiskannIndex:
             logger.debug("query stats: %s", self.last_search_stats)
         return np.asarray(ids), np.asarray(dists)
 
-    def _edge_code_cache(self):
+    def _edge_code_cache(self, arrays: Optional[GraphArrays] = None):
         """Build (lazily) or return the neighbor-code cache; None when the
-        index is plain-storage or the cache would blow the HBM budget."""
+        index is plain-storage or the cache would blow the HBM budget.
+
+        Pass the caller's ``arrays`` snapshot so a concurrent writer swap
+        between reads cannot pair a fresh cache with a stale snapshot."""
         if not self.config.uses_sbq:
             return None
-        a = self.arrays
+        a = self.arrays if arrays is None else arrays
         nbytes = a.capacity * a.max_degree * a.codes.shape[1] * 4
         if nbytes > EDGE_CODE_CACHE_MAX_BYTES:
             return None
-        if self._edge_codes is None or (
-            self._edge_codes.shape[0] != a.capacity
+        cached = self._edge_codes
+        if (
+            cached is not None
+            and cached[0] is a.codes
+            and cached[1] is a.adjacency
         ):
-            self._edge_codes = _build_edge_codes(a)
-        return self._edge_codes
+            return cached[2]
+        val = _build_edge_codes(a)
+        # Cache depends only on (codes, adjacency): deletes (tombstone
+        # flips) keep it valid; adds/prunes replace those tensors and so
+        # invalidate by identity.
+        self._edge_codes = (a.codes, a.adjacency, val)
+        return val
 
     def estimate_query_cost(
         self, params: Optional[QueryParams] = None

