@@ -1,0 +1,220 @@
+"""Kernel microbenchmarks (the criterion-bench analog).
+
+The reference ships criterion microbenches for its distance kernels and
+beam data structures (reference: pgvectorscale/benches/distance.rs:1-5,
+benches/lsr.rs:156-192).  This is the committed TPU equivalent — it
+reproduces the kernel-level numbers that docs/DESIGN.md quotes instead of
+leaving them as prose:
+
+- ``hamming``     — XLA popcount Hamming matrix vs the Pallas baseline
+                    kernel (ops/pallas_hamming.py documents XLA as the
+                    production path; this bench is the receipt).
+- ``edgecache``   — beam-step neighbor-code reads: scattered per-candidate
+                    gather vs the contiguous edge-code cache rows
+                    (the ~60%-of-search-time win, index._build_edge_codes).
+- ``beammerge``   — bitonic merge network vs full concat-sort for the
+                    beam update (graph/search.py merge_sorted_into_beam).
+
+Prints one JSON line per case.  Run on TPU:
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/kernels.py
+Env knobs: KB_REPS (default 10).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache_tpu")
+)
+
+REPS = int(os.environ.get("KB_REPS", 10))
+
+
+def _emit(obj):
+    print(json.dumps(obj))
+    sys.stdout.flush()
+
+
+def _time(fn, *args):
+    """Median-of-REPS wall time of a blocked jitted call (compile excluded)."""
+    import jax
+
+    jax.block_until_ready(fn(*args))  # compile + warm
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def bench_hamming():
+    import jax
+    import jax.numpy as jnp
+
+    from pgvectorscale_tpu.ops.hamming import hamming_distance_matrix
+    from pgvectorscale_tpu.ops.pallas_hamming import hamming_matrix_pallas
+
+    rng = np.random.default_rng(0)
+    q, n, w = 4096, 8192, 8  # 256-bit codes (128d 2-bit), SIFT-like
+    qc = jnp.asarray(rng.integers(0, 2**32, (q, w), dtype=np.uint32))
+    cc = jnp.asarray(rng.integers(0, 2**32, (n, w), dtype=np.uint32))
+
+    xla = jax.jit(hamming_distance_matrix)
+    t_xla = _time(xla, qc, cc)
+    _emit(
+        {
+            "bench": "hamming-matrix",
+            "shape": f"{q}x{n}x{w * 32}bit",
+            "xla_ms": round(t_xla * 1e3, 2),
+            "xla_gcmp_per_s": round(q * n / t_xla / 1e9, 1),
+        }
+    )
+    try:
+        pl = functools.partial(hamming_matrix_pallas, interpret=False)
+        t_pl = _time(jax.jit(pl), qc, cc)
+        _emit(
+            {
+                "bench": "hamming-matrix-pallas",
+                "pallas_ms": round(t_pl * 1e3, 2),
+                "pallas_vs_xla": round(t_pl / t_xla, 2),
+            }
+        )
+    except Exception as e:  # Pallas lowering may be unsupported on CPU
+        _emit({"bench": "hamming-matrix-pallas", "skipped": str(e)[:120]})
+
+
+def bench_edgecache():
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    cap, r, w = 100_000, 65, 8
+    q, e = 8192, 2  # one beam step's frontier
+    codes = jnp.asarray(rng.integers(0, 2**32, (cap, w), dtype=np.uint32))
+    adjacency = jnp.asarray(
+        rng.integers(0, cap, (cap, r), dtype=np.int32)
+    )
+    edge_codes = None  # built below
+    sel = jnp.asarray(rng.integers(0, cap, (q, e), dtype=np.int32))
+    qcodes = jnp.asarray(rng.integers(0, 2**32, (q, w), dtype=np.uint32))
+
+    @jax.jit
+    def scattered(sel, qcodes):
+        from jax import lax
+
+        nbrs = adjacency[sel].reshape(q, e * r)
+        g = codes[jnp.maximum(nbrs, 0)]  # [q, e*r, w] scattered 32B rows
+        x = jnp.bitwise_xor(g, qcodes[:, None, :])
+        return jnp.sum(lax.population_count(x).astype(jnp.int32), axis=-1)
+
+    t_scat = _time(scattered, sel, qcodes)
+
+    from pgvectorscale_tpu.store import GraphArrays  # noqa: F401  (doc link)
+    from pgvectorscale_tpu.index import _build_edge_codes
+
+    class _A:  # minimal shim with the fields _build_edge_codes reads
+        pass
+
+    a = _A()
+    a.adjacency = adjacency
+    a.codes = codes
+    edge_codes = _build_edge_codes(a)
+
+    @jax.jit
+    def cached(sel, qcodes):
+        from jax import lax
+
+        ec = edge_codes[jnp.maximum(sel, 0)]  # [q, e, r*w] contiguous rows
+        qtile = jnp.tile(qcodes, (1, r))
+        x = jnp.bitwise_xor(ec, qtile[:, None, :])
+        return jnp.sum(
+            lax.population_count(x).astype(jnp.int32).reshape(q, e, r, w),
+            axis=-1,
+        )
+
+    t_cache = _time(cached, sel, qcodes)
+    _emit(
+        {
+            "bench": "edge-code-reads",
+            "shape": f"q={q} e={e} r={r} {w * 32}bit",
+            "scattered_ms": round(t_scat * 1e3, 2),
+            "cached_ms": round(t_cache * 1e3, 2),
+            "speedup": round(t_scat / t_cache, 2),
+        }
+    )
+
+
+def bench_beammerge():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pgvectorscale_tpu.graph.search import merge_sorted_into_beam
+
+    rng = np.random.default_rng(2)
+    q, bl, er = 8192, 160, 130
+    bd = jnp.asarray(np.sort(rng.random((q, bl)).astype(np.float32), axis=1))
+    bi = jnp.asarray(rng.integers(0, 1 << 20, (q, bl), dtype=np.int32))
+    bv = jnp.asarray(rng.random((q, bl)) < 0.5)
+    cd = jnp.asarray(rng.random((q, er)).astype(np.float32))
+    ci = jnp.asarray(rng.integers(0, 1 << 20, (q, er), dtype=np.int32))
+
+    bitonic = jax.jit(merge_sorted_into_beam)
+    t_bitonic = _time(bitonic, bd, bi, bv, cd, ci)
+
+    @jax.jit
+    def full_sort(bd, bi, bv, cd, ci):
+        d = jnp.concatenate([bd, cd], axis=1)
+        i = jnp.concatenate([bi, ci], axis=1)
+        v = jnp.concatenate([bv, jnp.zeros_like(ci, jnp.bool_)], axis=1)
+        sd, si, sv = lax.sort((d, i, v), dimension=1, num_keys=1)
+        return sd[:, :bl], si[:, :bl], sv[:, :bl]
+
+    t_full = _time(full_sort, bd, bi, bv, cd, ci)
+    _emit(
+        {
+            "bench": "beam-merge",
+            "shape": f"q={q} beam={bl} cand={er}",
+            "bitonic_ms": round(t_bitonic * 1e3, 2),
+            "full_sort_ms": round(t_full * 1e3, 2),
+            "speedup": round(t_full / t_bitonic, 2),
+        }
+    )
+
+
+CASES = {
+    "hamming": bench_hamming,
+    "edgecache": bench_edgecache,
+    "beammerge": bench_beammerge,
+}
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "case", nargs="*", choices=sorted(CASES) + [[]], default=[]
+    )
+    args = ap.parse_args(argv)
+    import jax
+
+    _emit({"device": str(jax.devices()[0].platform), "reps": REPS})
+    for name in args.case or sorted(CASES):
+        CASES[name]()
+
+
+if __name__ == "__main__":
+    main()

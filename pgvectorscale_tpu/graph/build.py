@@ -284,6 +284,7 @@ def insert_wave(
     *,
     search_list_size: Optional[int] = None,
     n_existing: Optional[int] = None,
+    prefix_rows: Optional[int] = None,
     include_existing: bool = False,
 ) -> GraphArrays:
     """Insert a wave of already-stored nodes into the graph — ONE fused
@@ -299,6 +300,11 @@ def insert_wave(
     are searchable).  When the graph is small (<= BRUTE_CANDIDATE_THRESHOLD)
     candidates come from an exact brute-force scan instead of beam search.
 
+    ``prefix_rows``: explicit candidate-row prefix for waves whose ids are
+    NOT a contiguous suffix (tombstone-reuse inserts): the wave's rows
+    already lie inside [0, prefix_rows), so no +wave slack is added.
+    Mutually exclusive with ``n_existing``.
+
     ``include_existing``: merge each node's current neighbors into the
     candidate set — used by refinement passes, where every node re-inserts
     against the finished graph and must not lose good existing edges.
@@ -307,10 +313,16 @@ def insert_wave(
     b = len(node_ids_np)
     n_real = int((np.asarray(node_ids_np) >= 0).sum())
     l = search_list_size or config.search_list_size
-    brute = (
-        n_existing is not None and n_existing <= BRUTE_CANDIDATE_THRESHOLD
-    )
-    prefix = (0 if n_existing is None else int(n_existing)) + n_real
+    if prefix_rows is not None:
+        assert n_existing is None
+        brute = prefix_rows <= BRUTE_CANDIDATE_THRESHOLD
+        prefix = int(prefix_rows)
+    else:
+        brute = (
+            n_existing is not None
+            and n_existing <= BRUTE_CANDIDATE_THRESHOLD
+        )
+        prefix = (0 if n_existing is None else int(n_existing)) + n_real
     if ctx.stats is not None:
         ctx.stats.num_waves += 1
     return _wave_step_jit(
@@ -414,15 +426,19 @@ def _wave_step_jit(
         # traversal time on TPU.  Size-gated statically by shapes.
         # Tighter gate than the query path: wave buffers (the [B, C, C]
         # prune tensors) coexist with the cache during builds.
-        build_cache_max = 4 << 30
-        ec_bytes = (
-            arrays.capacity * arrays.max_degree * arrays.codes.shape[1] * 4
-        )
+        # The gather's [cap, R, W] intermediate is lane-padded W -> 128
+        # (T(8,128) tiling), so the gate must charge PADDED bytes: a 1M x
+        # 128d cache is 2.1 GB flat but the intermediate copy plans 33 GB
+        # and OOMs a 16 GB chip.
+        build_cache_max = 6 << 30
+        w = arrays.codes.shape[1]
+        w_padded = -(-w // 128) * 128
+        ec_padded_bytes = arrays.capacity * arrays.max_degree * w_padded * 4
         edge_codes = (
             arrays.codes[jnp.maximum(arrays.adjacency, 0)].reshape(
                 arrays.capacity, -1
             )  # flat [cap, R*W]: a [R, W] minor pair pads W to 128 lanes
-            if use_codes and ec_bytes <= build_cache_max
+            if use_codes and ec_padded_bytes <= build_cache_max
             else None
         )
         start_ids = jnp.broadcast_to(

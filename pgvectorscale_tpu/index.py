@@ -88,7 +88,11 @@ def _build_edge_codes(arrays: GraphArrays) -> jax.Array:
     in-place output."""
     cap, r = arrays.adjacency.shape
     w = arrays.codes.shape[1]
-    chunk = min(cap, max(1, (512 << 20) // max(r * w * 4, 1)))
+    # Chunk size bounds the PADDED transient: the per-chunk gather's
+    # [chunk, R, W] intermediate lane-pads W -> 128 (T(8,128) tiling),
+    # a 16x inflation at W=8.
+    w_padded = -(-w // 128) * 128
+    chunk = min(cap, max(1, (512 << 20) // max(r * w_padded * 4, 1)))
     out = jnp.zeros((cap, r * w), arrays.codes.dtype)
     for i0 in range(0, cap, chunk):
         # dynamic_slice clamps the start index, so a partial tail chunk
@@ -212,9 +216,15 @@ class DiskannIndex:
         self.sbq_stats = sbq_stats
         self.external_ids = external_ids  # i64[count] host-side
         self._ctx = BuildContext(config)
+        # Host mirror of the tombstone bitmap: lets delete-count queries
+        # and the add() freelist run without pulling the device tensor
+        # (device->host is ~0.75 MB/s on tunneled TPUs).  The device tensor
+        # stays authoritative for searches.
+        self._deleted_np = np.zeros(arrays.capacity, dtype=bool)
         # Stats plumbing (stats.rs analog): populated by build/search.
         self.build_stats = None  # stats.WriteStats after build()
         self._last_search_res = None  # device-resident SearchResult
+        self._last_search_l = 0  # beam width of the last search batch
         # Derived neighbor-code cache (rebuilt lazily after mutation):
         # gathers each node's neighbor codes into contiguous rows so the
         # search inner loop reads ~R*W*4-byte blocks instead of scattered
@@ -248,7 +258,7 @@ class DiskannIndex:
     @property
     def num_deleted(self) -> int:
         n = self.count
-        return int(np.asarray(self.arrays.deleted[:n]).sum()) if n else 0
+        return int(self._deleted_np[:n].sum()) if n else 0
 
     @property
     def num_live(self) -> int:
@@ -413,8 +423,14 @@ class DiskannIndex:
         initial_wave: int = 256,
         max_wave: int = 4096,
         progress_callback=None,
+        full_graph: bool = False,
     ) -> None:
-        """Insert already-stored rows into the graph in geometric waves."""
+        """Insert already-stored rows into the graph in geometric waves.
+
+        ``full_graph``: ids are scattered through the id space (tombstone
+        reuse) rather than a contiguous suffix — every wave beam-searches
+        the whole graph instead of the id prefix.
+        """
         arrays = self.arrays
         pos = 0
         if int(arrays.default_start) == INVALID_ID and len(ids) > 0:
@@ -437,14 +453,22 @@ class DiskannIndex:
                 wave = np.concatenate(
                     [wave, np.full(bucket - take, INVALID_ID, np.int32)]
                 )
-            # Rows are inserted in contiguous id order, so everything below
-            # the wave's first id is already in the graph.
-            arrays = insert_wave(
-                arrays,
-                self._ctx,
-                wave,
-                n_existing=int(wave[0]),
-            )
+            # Contiguous-id inserts: everything below the wave's first id
+            # is already in the graph (prefix semantics).
+            if full_graph:
+                arrays = insert_wave(
+                    arrays,
+                    self._ctx,
+                    wave,
+                    prefix_rows=int(self.count),
+                )
+            else:
+                arrays = insert_wave(
+                    arrays,
+                    self._ctx,
+                    wave,
+                    n_existing=int(wave[0]),
+                )
             done += take
             bucket = min(bucket * 2, max_wave)
             if progress_callback:
@@ -502,33 +526,6 @@ class DiskannIndex:
         if labels is not None and not self.config.has_labels:
             raise ValueError("labels passed to an unlabeled index")
 
-        n0 = self.count
-        needed = n0 + m
-        if needed > self.arrays.capacity:
-            self.arrays = store.grow(
-                self.arrays, max(_round_up(needed, 1024), 2 * self.arrays.capacity)
-            )
-
-        arrays = _add_ingest_jit(
-            self.arrays,
-            self.sbq_stats,
-            jnp.asarray(vectors),
-            jnp.asarray(n0, dtype=jnp.int32),
-            config=self.config,
-        )
-        if self.config.has_labels:
-            if labels is None:
-                labels = [None] * m
-            label_arr = make_label_array(
-                list(labels), self.config.max_labels_per_vector
-            )
-            arrays = arrays._replace(
-                node_labels=lax.dynamic_update_slice(
-                    arrays.node_labels, jnp.asarray(label_arr), (n0, 0)
-                )
-            )
-            arrays = _register_label_starts_host(arrays, label_arr, n0)
-
         if external_ids is None:
             base = (
                 int(self.external_ids.max()) + 1 if len(self.external_ids) else 0
@@ -538,17 +535,103 @@ class DiskannIndex:
             external_ids = np.asarray(external_ids, dtype=np.int64)
             if external_ids.shape != (m,):
                 raise ValueError("external_ids must be [M]")
-        self.external_ids = np.concatenate([self.external_ids, external_ids])
+        label_list = (
+            list(labels)
+            if labels is not None
+            else ([None] * m if self.config.has_labels else None)
+        )
+
+        n0 = self.count
+        # --- tombstone slot reuse (the in-place side of vacuum,
+        # vacuum.rs:24-157): deleted rows are recycled before the store
+        # grows, so N adds + N deletes leave capacity flat.  The reused
+        # row keeps its stale INCOMING edges (they now lead to the new
+        # vector — approximate but harmless detours); its outgoing edges
+        # are cleared and rebuilt by a fresh graph insert. ---
+        free = np.nonzero(self._deleted_np[:n0])[0]
+        n_reuse = int(min(len(free), m))
+        reuse_rows = free[:n_reuse].astype(np.int32)
+        fresh = m - n_reuse
+
+        needed = n0 + fresh
+        if needed > self.arrays.capacity:
+            self.arrays = store.grow(
+                self.arrays, max(_round_up(needed, 1024), 2 * self.arrays.capacity)
+            )
+        if len(self._deleted_np) < self.arrays.capacity:
+            self._deleted_np = np.concatenate(
+                [
+                    self._deleted_np,
+                    np.zeros(
+                        self.arrays.capacity - len(self._deleted_np), bool
+                    ),
+                ]
+            )
+
+        arrays = self.arrays
+        if n_reuse:
+            arrays = _reuse_ingest_jit(
+                arrays,
+                self.sbq_stats,
+                jnp.asarray(vectors[:n_reuse]),
+                jnp.asarray(reuse_rows),
+                config=self.config,
+            )
+            self._deleted_np[reuse_rows] = False
+            self.external_ids[reuse_rows] = external_ids[:n_reuse]
+        if fresh:
+            arrays = _add_ingest_jit(
+                arrays,
+                self.sbq_stats,
+                jnp.asarray(vectors[n_reuse:]),
+                jnp.asarray(n0, dtype=jnp.int32),
+                config=self.config,
+            )
+            self.external_ids = np.concatenate(
+                [self.external_ids, external_ids[n_reuse:]]
+            )
+        if self.config.has_labels:
+            label_arr = make_label_array(
+                label_list, self.config.max_labels_per_vector
+            )
+            if n_reuse:
+                arrays = arrays._replace(
+                    node_labels=arrays.node_labels.at[
+                        jnp.asarray(reuse_rows)
+                    ].set(jnp.asarray(label_arr[:n_reuse]))
+                )
+                arrays = _register_label_starts_host(
+                    arrays, label_arr[:n_reuse], 0, node_ids=reuse_rows
+                )
+            if fresh:
+                arrays = arrays._replace(
+                    node_labels=lax.dynamic_update_slice(
+                        arrays.node_labels,
+                        jnp.asarray(label_arr[n_reuse:]),
+                        (n0, 0),
+                    )
+                )
+                arrays = _register_label_starts_host(
+                    arrays, label_arr[n_reuse:], n0
+                )
 
         self.arrays = arrays
-        new_ids = np.arange(n0, needed, dtype=np.int32)
-        self._insert_ids_into_graph(new_ids)
+        fresh_ids = np.arange(n0, needed, dtype=np.int32)
+        if n_reuse:
+            # Reused rows sit anywhere in the id space, so prefix-based
+            # wave scheduling does not apply: insert with full-graph beam
+            # waves.
+            self._insert_ids_into_graph(
+                reuse_rows, full_graph=True
+            )
+        if fresh:
+            self._insert_ids_into_graph(fresh_ids)
         from .graph.build import repair_orphans
 
         self.arrays = repair_orphans(self.arrays, self._ctx)
         # No cache invalidation needed: the edge-code cache is keyed by
         # tensor identity and the adjacency tensor just changed.
-        return new_ids
+        return np.concatenate([reuse_rows, fresh_ids])
 
     # ------------------------------------------------------------------
     # Search (scan analog)
@@ -618,6 +701,7 @@ class DiskannIndex:
         # Keep the raw result on device; stats transfer only on access
         # (device->host pulls are expensive on tunneled TPUs).
         self._last_search_res = search_res
+        self._last_search_l = l
         if logger.isEnabledFor(logging.DEBUG):
             # Opt-in per-query stats dump (amendscan debug1, scan.rs:439-476).
             # Gated: realizing the stats pulls device scalars.
@@ -633,7 +717,10 @@ class DiskannIndex:
         if not self.config.uses_sbq:
             return None
         a = self.arrays if arrays is None else arrays
-        nbytes = a.capacity * a.max_degree * a.codes.shape[1] * 4
+        # Charge the PADDED footprint: the flat [cap, R*W] minor dim is
+        # lane-padded to a multiple of 128.
+        rw = a.max_degree * a.codes.shape[1]
+        nbytes = a.capacity * (-(-rw // 128) * 128) * 4
         if nbytes > EDGE_CODE_CACHE_MAX_BYTES:
             return None
         cached = self._edge_codes
@@ -653,20 +740,41 @@ class DiskannIndex:
     def estimate_query_cost(
         self, params: Optional[QueryParams] = None
     ) -> dict:
-        """Rough per-query cost estimate (amcostestimate analog,
+        """Per-query cost estimate (amcostestimate analog,
         cost_estimate.rs:6-50 — the reference charges genericcostestimate
         with numIndexTuples = tuples/100; we report the actual expected
-        work instead)."""
+        work instead).
+
+        Calibrated from MEASURED statistics when a search has run on this
+        index: the last batch's mean visits/comparisons are scaled by the
+        ratio of the requested search list size to the one measured.
+        Falls back to the a-priori model (~1.2 visits per beam slot,
+        matching the _query_max_iters budget) on a cold index."""
         params = params or QueryParams()
         l = params.search_list_size
         r = self.config.num_neighbors
-        expected_visits = min(int(1.2 * l), max(self.num_live, 1))
+        stats = self.last_search_stats
+        if stats is not None and stats.num_queries > 0 and stats.total_visits:
+            measured_l = max(self._last_search_l, 1)
+            scale = l / measured_l
+            expected_visits = int(
+                stats.total_visits / stats.num_queries * scale
+            )
+            expected_comps = int(
+                stats.total_distance_comparisons / stats.num_queries * scale
+            )
+            basis = "measured"
+        else:
+            expected_visits = min(int(1.2 * l), max(self.num_live, 1))
+            expected_comps = expected_visits * r
+            basis = "model"
         return {
             "expected_node_visits": expected_visits,
-            "expected_distance_comparisons": expected_visits * r,
+            "expected_distance_comparisons": expected_comps,
             "expected_full_precision_comparisons": params.rescore
             + (0 if params.rescore == 0 else 10),
             "estimated_rows": max(self.num_live // 100, 1),
+            "basis": basis,
         }
 
     def _needs_rescore(self, params: QueryParams) -> bool:
@@ -725,6 +833,7 @@ class DiskannIndex:
         self.arrays = self.arrays._replace(
             deleted=self.arrays.deleted.at[jnp.asarray(ids)].set(True)
         )
+        self._deleted_np[ids] = True
 
     def delete_external(self, external_ids: np.ndarray) -> None:
         ext = np.asarray(external_ids, dtype=np.int64)
@@ -736,7 +845,7 @@ class DiskannIndex:
         index after heavy vacuum churn).  Returns a NEW index; external ids
         are preserved."""
         n = self.count
-        deleted = np.asarray(self.arrays.deleted[:n])
+        deleted = self._deleted_np[:n]
         live = np.nonzero(~deleted)[0]
         vectors = np.asarray(self.arrays.vectors[:n])[live]
         ext = self.external_ids[live]
@@ -837,7 +946,9 @@ class DiskannIndex:
                 mean=jnp.asarray(z["sbq_mean"]),
                 m2=jnp.asarray(z["sbq_m2"]),
             )
-            return cls(config, arrays, stats, z["external_ids"].copy())
+            index = cls(config, arrays, stats, z["external_ids"].copy())
+            index._deleted_np[:n] = z["deleted"]
+            return index
 
 
 class SearchIterator:
@@ -1103,6 +1214,35 @@ def _ingest_jit(
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
+def _reuse_ingest_jit(
+    arrays: GraphArrays,
+    sbq_stats: sbq.SbqStats,
+    raw_vectors: jax.Array,  # f32[M, D]
+    rows: jax.Array,  # i32[M] tombstoned rows being recycled
+    *,
+    config: IndexConfig,
+) -> GraphArrays:
+    """Fused reuse ingest: normalize + encode + overwrite recycled rows,
+    clearing their tombstone and outgoing edges — one device dispatch
+    (the in-place page-rewrite side of vacuum, vacuum.rs:24-157)."""
+    dev = (
+        preprocess_cosine(raw_vectors)
+        if config.distance_type == DistanceType.COSINE
+        else raw_vectors.astype(jnp.float32)
+    )
+    indexed = dev[:, : config.dims_to_index]
+    arrays = arrays._replace(
+        vectors=arrays.vectors.at[rows].set(dev.astype(arrays.vectors.dtype)),
+        deleted=arrays.deleted.at[rows].set(False),
+        adjacency=arrays.adjacency.at[rows].set(INVALID_ID),
+    )
+    if config.uses_sbq:
+        codes = sbq.encode(indexed, sbq_stats, config.bits_per_dimension)
+        arrays = arrays._replace(codes=arrays.codes.at[rows].set(codes))
+    return arrays
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
 def _add_ingest_jit(
     arrays: GraphArrays,
     sbq_stats: sbq.SbqStats,
@@ -1182,10 +1322,16 @@ def _query_max_iters(l: int) -> int:
 
 
 def _register_label_starts_host(
-    arrays: GraphArrays, label_arr: np.ndarray, base_id: int
+    arrays: GraphArrays,
+    label_arr: np.ndarray,
+    base_id: int,
+    node_ids: Optional[np.ndarray] = None,
 ) -> GraphArrays:
     """Host-side: first row carrying an uncovered label becomes that label's
-    start node (update_start_nodes, graph/mod.rs:490-533)."""
+    start node (update_start_nodes, graph/mod.rs:490-533).
+
+    ``node_ids``: explicit per-row node ids (tombstone-reuse inserts);
+    defaults to base_id + row for contiguous appends."""
     keys = np.asarray(arrays.label_start_keys).copy()
     ids = np.asarray(arrays.label_start_ids).copy()
     covered = set(int(k) for k in keys if k != LABEL_SENTINEL)
@@ -1196,7 +1342,10 @@ def _register_label_starts_host(
             if v == LABEL_SENTINEL or v in covered:
                 continue
             covered.add(v)
-            new_entries.append((v, base_id + row))
+            nid = (
+                int(node_ids[row]) if node_ids is not None else base_id + row
+            )
+            new_entries.append((v, nid))
     if not new_entries:
         return arrays
     free = np.nonzero(keys == LABEL_SENTINEL)[0]

@@ -237,7 +237,10 @@ def _build_sharded_edge_codes(stacked: GraphArrays) -> jax.Array:
     each shard's cache lives on that shard's device."""
     p, cap, r = stacked.adjacency.shape
     w = stacked.codes.shape[-1]
-    chunk = min(cap, max(1, (256 << 20) // max(r * w * 4, 1)))
+    # Bound the PADDED per-chunk transient (the [chunk, R, W] gather
+    # intermediate lane-pads W -> 128).
+    w_padded = -(-w // 128) * 128
+    chunk = min(cap, max(1, (256 << 20) // max(r * w_padded * 4, 1)))
     out = jnp.zeros_like(
         stacked.codes, shape=(p, cap, r * w)
     )
@@ -452,7 +455,9 @@ class ShardedDiskannIndex:
             return None
         s = self.stacked if stacked is None else stacked
         p, cap, r = s.adjacency.shape
-        per_shard_bytes = cap * r * s.codes.shape[-1] * 4
+        # Padded footprint: the flat minor dim lane-pads to 128 multiples.
+        rw = r * s.codes.shape[-1]
+        per_shard_bytes = cap * (-(-rw // 128) * 128) * 4
         if per_shard_bytes > EDGE_CODE_CACHE_MAX_BYTES:
             return None
         cached = self._edge_codes

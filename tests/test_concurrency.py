@@ -130,9 +130,9 @@ def test_interleaved_writers_and_readers(base):
     expected_live = inserted - deleted
     all_ext = index.external_ids
     assert len(all_ext) == len(set(all_ext.tolist()))  # unique
-    present = set(int(e) for e in all_ext) & inserted
-    assert present == inserted  # adds never lost (deletes only tombstone)
-
+    # Adds never lost: every non-deleted insert is live and mapped.
+    # (Deleted external ids may vanish entirely — tombstone reuse recycles
+    # their rows under new identities.)
     live_mask = ~np.asarray(index.arrays.deleted[: index.count])
     live_ext = set(int(e) for e in all_ext[live_mask])
     assert live_ext & inserted == expected_live

@@ -500,7 +500,11 @@ def test_refine_pass_preserves_quality(rng):
     assert count_reachable_nodes(refined) == n
     r0 = _recall_at_k(base, vectors, queries, 10, DistanceType.COSINE)
     r1 = _recall_at_k(refined, vectors, queries, 10, DistanceType.COSINE)
-    assert r1 >= r0 - 0.03, f"refine degraded recall {r0} -> {r1}"
+    # At CPU-testable scale recall is near-saturated, so the gate here is
+    # strict non-regression; the feature's IMPROVEMENT claim is measured at
+    # 100k on TPU and committed as an artifact (results/, e.g. +0.015
+    # recall at L=150/rescore=300 for refine_passes=1).
+    assert r1 >= r0 - 0.005, f"refine degraded recall {r0} -> {r1}"
 
 
 def test_external_ids(rng):

@@ -31,7 +31,11 @@ def test_mixed_insert_query_delete_stream(rng):
     params = QueryParams(search_list_size=32, rescore=20)
 
     all_vectors = [np.asarray(index.arrays.vectors[:200])]
-    deleted: set[int] = set()
+    # Deletions are tracked in EXTERNAL-id space: tombstone-reuse can
+    # legitimately recycle a deleted ROW under a new external identity,
+    # but a deleted external id must never resurface (the heap-pointer
+    # invariant, scan.rs:231).
+    deleted_ext: set[int] = set()
     for step in range(6):
         batch = make(50)
         new_ids = index.add(batch)
@@ -44,19 +48,27 @@ def test_mixed_insert_query_delete_stream(rng):
         assert found <= set(new_ids.tolist()) | set(range(index.count))
 
         if step % 2 == 1:
-            victims = rng.choice(
-                [i for i in range(index.count) if i not in deleted],
-                size=20,
-                replace=False,
-            ).astype(np.int32)
+            live_rows = np.nonzero(~index._deleted_np[: index.count])[0]
+            victims = rng.choice(live_rows, size=20, replace=False).astype(
+                np.int32
+            )
             index.delete(victims)
-            deleted.update(int(v) for v in victims)
+            deleted_ext.update(
+                int(e) for e in index.external_ids[victims]
+            )
             ids, _ = index.search(make(10), k=10)
-            live = set(int(i) for row in ids for i in row if i >= 0)
-            assert not (live & deleted), "tombstoned rows leaked into results"
+            live_ext = set(
+                int(e) for e in index.to_external(ids).ravel() if e >= 0
+            )
+            assert not (live_ext & deleted_ext), (
+                "tombstoned rows leaked into results"
+            )
 
-    assert index.count == 200 + 6 * 50
-    assert index.num_deleted == len(deleted)
+    # Slot reuse keeps the row space compact: of the 60 deletes, the 40
+    # tombstoned before the last add were recycled by later adds.
+    n_recycled = 40
+    assert index.count == 200 + 6 * 50 - n_recycled
+    assert index.num_deleted == 20  # only the final step's victims remain
 
     # Every live row remains reachable through the index.
     from pgvectorscale_tpu.debug import count_reachable_nodes
@@ -106,3 +118,53 @@ def test_add_then_compact_then_add(rng):
     ids, dists = index.search(v2[:3], k=1)
     assert (dists[:, 0] < 1e-5).all()
     assert set(int(i) for i in ids[:, 0]) <= set(new_ids.tolist())
+
+
+def test_tombstone_slot_reuse_keeps_capacity_flat(rng):
+    """N adds + N deletes leave capacity flat: add() recycles tombstoned
+    rows before growing the store (the in-place space-reclamation side of
+    vacuum, vacuum.rs:24-157; compact() stays the deep clean)."""
+    n, d = 1024, 32
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=12,
+        search_list_size=24,
+    )
+    index = DiskannIndex.build(vectors, config)
+    cap0 = index.arrays.capacity
+    next_ext = n
+    for _ in range(3):
+        dead = rng.choice(index.count, size=128, replace=False).astype(
+            np.int32
+        )
+        index.delete(dead)
+        newv = rng.standard_normal((128, d)).astype(np.float32)
+        ids = index.add(
+            newv,
+            external_ids=np.arange(next_ext, next_ext + 128, dtype=np.int64),
+        )
+        next_ext += 128
+        assert index.arrays.capacity == cap0  # no growth
+        assert index.count == n  # slots recycled, not appended
+        assert index.num_deleted == 0
+        assert set(ids.tolist()) == set(int(i) for i in dead)
+
+        # Recycled rows are live and self-findable at their new identity.
+        got, _ = index.search(
+            newv[:4], k=1, params=QueryParams(search_list_size=32, rescore=32)
+        )
+        assert [int(i) for i in got[:, 0]] == [int(i) for i in ids[:4]]
+
+    # Mixed fresh+reuse: delete 64 then add 128 -> 64 recycled, 64 appended.
+    dead = rng.choice(index.count, size=64, replace=False).astype(np.int32)
+    index.delete(dead)
+    newv = rng.standard_normal((128, d)).astype(np.float32)
+    ids = index.add(
+        newv, external_ids=np.arange(next_ext, next_ext + 128, dtype=np.int64)
+    )
+    assert index.count == n + 64
+    assert set(ids[:64].tolist()) == set(int(i) for i in dead)
+    assert (ids[64:] >= n).all()
+    assert index.num_deleted == 0
