@@ -61,15 +61,18 @@ def _ground_truth(vectors, queries, k, distance_type, chunk=512):
     if distance_type == DistanceType.COSINE:
         dv, dq = preprocess_cosine(dv), preprocess_cosine(dq)
 
+    # The corpus is an ARGUMENT, not a closure capture: tracing embeds
+    # captured device arrays as program constants, and a 1M x 128 constant
+    # blows the tunneled remote-compile request limit (HTTP 413).
     @jax.jit
-    def topk(qs):
-        d = distance_matrix(qs, dv, distance_type)
+    def topk(qs, base):
+        d = distance_matrix(qs, base, distance_type)
         _, ids = jax.lax.top_k(-d, k)
         return ids
 
     out = []
     for i in range(0, dq.shape[0], chunk):
-        out.append(np.asarray(topk(dq[i : i + chunk])))
+        out.append(np.asarray(topk(dq[i : i + chunk], dv)))
     return np.concatenate(out, axis=0)
 
 
@@ -189,9 +192,11 @@ def run_filtered(n, q):
     for i, ls in enumerate(labels):
         label_arr[i, : len(ls)] = ls
 
+    # Corpus passed as an argument (closure capture would embed it as a
+    # program constant — see _ground_truth).
     @jax.jit
-    def filtered_topk(qs, allowed):
-        d = distance_matrix(qs, dv, DistanceType.COSINE)
+    def filtered_topk(qs, allowed, base):
+        d = distance_matrix(qs, base, DistanceType.COSINE)
         d = jnp.where(allowed, d, jnp.inf)
         _, ids = jax.lax.top_k(-d, k)
         return ids
@@ -208,7 +213,21 @@ def run_filtered(n, q):
             for lbl in ls:
                 m |= (label_arr == lbl).any(axis=1)
             allowed[r] = m
-        gt = np.asarray(filtered_topk(dq, jnp.asarray(allowed)))
+        # Chunked over queries: the [Q, N] score + mask tensors at 1M rows
+        # would not fit HBM in one shot.
+        gt_chunk = 128
+        gt_parts = []
+        for i in range(0, q, gt_chunk):
+            gt_parts.append(
+                np.asarray(
+                    filtered_topk(
+                        dq[i : i + gt_chunk],
+                        jnp.asarray(allowed[i : i + gt_chunk]),
+                        dv,
+                    )
+                )
+            )
+        gt = np.concatenate(gt_parts, axis=0)
         params = QueryParams(search_list_size=150, rescore=300, expand=2)
         ids, qps = _timed_search(
             index, queries, k, params, query_labels=qlabels

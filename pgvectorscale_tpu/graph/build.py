@@ -52,8 +52,43 @@ from .search import beam_search, get_start_ids
 
 logger = logging.getLogger("pgvectorscale_tpu")
 
+
+def _edge_codes_scan(codes: jax.Array, adjacency: jax.Array) -> jax.Array:
+    """Neighbor-code cache u32[cap, R*W] built by a lax.scan over row
+    chunks (traced inside the wave jit).
+
+    The obvious ``codes[adjacency].reshape(cap, -1)`` materializes a
+    [cap, R, W] intermediate whose minor dim W lane-pads to 128 (16x at
+    W=8).  Scanning fixed-size chunks bounds that transient to
+    ~chunk*R*128*4 bytes while the flat output pads only ~R*W -> multiple
+    of 128 ((~23% at R=65, W=8)."""
+    cap, r = adjacency.shape
+    w = codes.shape[1]
+    w_padded = -(-w // 128) * 128
+    # ~512 MB padded transient per chunk.
+    chunk = min(cap, max(1, (512 << 20) // (r * w_padded * 4)))
+    n_iters = -(-cap // chunk)
+    out = jnp.zeros((cap, r * w), codes.dtype)
+    # Clamped starts: the tail chunk re-covers (identically) the last rows.
+    starts = jnp.minimum(
+        jnp.arange(n_iters, dtype=jnp.int32) * chunk, cap - chunk
+    )
+
+    def body(acc, i0):
+        rows = lax.dynamic_slice(adjacency, (i0, 0), (chunk, r))
+        vals = codes[jnp.maximum(rows, 0)].reshape(chunk, r * w)
+        return lax.dynamic_update_slice(acc, vals, (i0, 0)), None
+
+    out, _ = lax.scan(body, out, starts)
+    return out
+
 # How many overflowing rows one re-prune batch handles (finalize path).
 PRUNE_BATCH = 8192
+# Build-time neighbor-code cache gates (see _wave_step_jit): a cache whose
+# one-shot-gather PADDED intermediate fits uses the fused gather; larger
+# caches whose flat form fits use the scan-chunked builder; else no cache.
+BUILD_CACHE_ONEPASS_MAX_BYTES = 6 << 30
+BUILD_CACHE_FLAT_MAX_BYTES = 4 << 30
 # Max distinct overflowing rows handled per wave, in-device (fixed shape).
 # Edges rejected beyond this budget are dropped for the wave; the final
 # prune + orphan repair make up the difference.
@@ -426,21 +461,27 @@ def _wave_step_jit(
         # traversal time on TPU.  Size-gated statically by shapes.
         # Tighter gate than the query path: wave buffers (the [B, C, C]
         # prune tensors) coexist with the cache during builds.
-        # The gather's [cap, R, W] intermediate is lane-padded W -> 128
-        # (T(8,128) tiling), so the gate must charge PADDED bytes: a 1M x
-        # 128d cache is 2.1 GB flat but the intermediate copy plans 33 GB
-        # and OOMs a 16 GB chip.
-        build_cache_max = 6 << 30
+        # The one-shot gather's [cap, R, W] intermediate is lane-padded
+        # W -> 128 (T(8,128) tiling) — 16x at W=8, which planned 33 GB on
+        # a 1M x 128d build and OOMed the 16 GB chip.  Small caches use
+        # the fused single gather; big ones fall back to a scan-chunked
+        # construction whose transient is bounded, gated on the FLAT
+        # (lane-padded) cache size.
+        gather_onepass_max = BUILD_CACHE_ONEPASS_MAX_BYTES
+        flat_cache_max = BUILD_CACHE_FLAT_MAX_BYTES
+        cap, r = arrays.adjacency.shape
         w = arrays.codes.shape[1]
         w_padded = -(-w // 128) * 128
-        ec_padded_bytes = arrays.capacity * arrays.max_degree * w_padded * 4
-        edge_codes = (
-            arrays.codes[jnp.maximum(arrays.adjacency, 0)].reshape(
-                arrays.capacity, -1
-            )  # flat [cap, R*W]: a [R, W] minor pair pads W to 128 lanes
-            if use_codes and ec_padded_bytes <= build_cache_max
-            else None
-        )
+        onepass_bytes = cap * r * w_padded * 4
+        flat_bytes = cap * (-(-(r * w) // 128) * 128) * 4
+        if use_codes and onepass_bytes <= gather_onepass_max:
+            edge_codes = arrays.codes[
+                jnp.maximum(arrays.adjacency, 0)
+            ].reshape(cap, -1)
+        elif use_codes and flat_bytes <= flat_cache_max:
+            edge_codes = _edge_codes_scan(arrays.codes, arrays.adjacency)
+        else:
+            edge_codes = None
         start_ids = jnp.broadcast_to(
             arrays.default_start[None, None], (b, 1)
         ).astype(jnp.int32)

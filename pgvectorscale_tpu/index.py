@@ -303,7 +303,13 @@ class DiskannIndex:
         builds keep the geometric ramp so they never pad a tiny insert to
         a 4096-row wave.
         """
-        vectors = np.asarray(vectors, dtype=np.float32)
+        if isinstance(vectors, jax.Array):
+            # Device-resident input (e.g. compact()'s live-row gather):
+            # keep it on device — np.asarray would pull [N, D] through the
+            # slow tunneled device->host link just to re-upload it.
+            vectors = vectors.astype(jnp.float32)
+        else:
+            vectors = np.asarray(vectors, dtype=np.float32)
         if vectors.ndim != 2:
             raise ValueError("vectors must be [N, D]")
         n, d = vectors.shape
@@ -847,11 +853,18 @@ class DiskannIndex:
         n = self.count
         deleted = self._deleted_np[:n]
         live = np.nonzero(~deleted)[0]
-        vectors = np.asarray(self.arrays.vectors[:n])[live]
+        # Device-side row selection: the live vectors stay on device and
+        # feed the rebuild's ingest directly — pulling [n, D] through the
+        # ~0.75 MB/s tunneled device->host link dominated compact() time.
+        # (Cosine pre-normalization is idempotent, so re-ingesting stored
+        # pre-normalized vectors is exact.)
+        vectors = self.arrays.vectors[jnp.asarray(live)].astype(jnp.float32)
         ext = self.external_ids[live]
         labels_list = None
         if self.config.has_labels:
-            node_labels = np.asarray(self.arrays.node_labels[:n])[live]
+            node_labels = np.asarray(
+                self.arrays.node_labels[jnp.asarray(live)]
+            )
             labels_list = [
                 [int(v) for v in row if v != LABEL_SENTINEL]
                 for row in node_labels

@@ -518,3 +518,66 @@ def test_external_ids(rng):
     )
     ids, _ = index.search(vectors[7], k=1)
     assert index.to_external(ids)[0, 0] == 1007
+
+
+def test_scan_chunked_build_cache_identical(rng):
+    """Large-capacity builds construct the wave neighbor-code cache with a
+    lax.scan over row chunks (the one-shot gather's [cap, R, W]
+    intermediate lane-pads W->128 and OOMed 1M builds on a 16 GB chip).
+    The chunked path must produce a bit-identical graph."""
+    import jax
+
+    import pgvectorscale_tpu.graph.build as gb
+
+    n, d = 6000, 32  # > BRUTE_CANDIDATE_THRESHOLD so beam waves engage
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=16,
+        search_list_size=32,
+    )
+    adj0 = np.asarray(DiskannIndex.build(vectors, config).arrays.adjacency)
+    # Force the scan path.  The jit caches by shape, so retrace.
+    jax.clear_caches()
+    old = gb.BUILD_CACHE_ONEPASS_MAX_BYTES
+    gb.BUILD_CACHE_ONEPASS_MAX_BYTES = 0
+    try:
+        adj1 = np.asarray(
+            DiskannIndex.build(vectors, config).arrays.adjacency
+        )
+    finally:
+        gb.BUILD_CACHE_ONEPASS_MAX_BYTES = old
+        jax.clear_caches()
+    np.testing.assert_array_equal(adj0, adj1)
+
+
+def test_compact_stays_on_device(rng):
+    """compact() must not pull the vector matrix to the host (the tunneled
+    device->host link is ~0.75 MB/s): live rows are gathered on device and
+    feed the rebuild's ingest directly."""
+    n, d = 600, 24
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    index = DiskannIndex.build(
+        vectors,
+        IndexConfig(
+            num_dimensions=d,
+            distance_type=DistanceType.COSINE,
+            num_neighbors=12,
+            search_list_size=24,
+        ),
+    )
+    index.delete(np.arange(0, 100, dtype=np.int32))
+    compacted = index.compact()
+    assert compacted.count == n - 100
+    assert compacted.num_deleted == 0
+    # External ids of survivors are preserved.
+    assert set(compacted.external_ids.tolist()) == set(range(100, n))
+    # Self-queries on survivors come back exact.
+    ids, dists = compacted.search(
+        vectors[100:104], k=1, params=QueryParams(search_list_size=32,
+                                                  rescore=24)
+    )
+    assert [int(e) for e in compacted.to_external(ids)[:, 0]] == [
+        100, 101, 102, 103,
+    ]
