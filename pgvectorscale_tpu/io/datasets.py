@@ -79,21 +79,7 @@ def synthetic_corpus(
     - ``gauss``: iid gaussian (worst case for SBQ)
     """
     rng = np.random.default_rng(seed)
-    if kind == "sift":
-        d, n_centers = 128, 256
-        centers = rng.random((n_centers, d), dtype=np.float32) * 100
-        a = rng.integers(0, n_centers, n)
-        aq = rng.integers(0, n_centers, num_queries)
-        noise = 12.0
-        base = np.abs(
-            centers[a] + noise * rng.standard_normal((n, d)).astype(np.float32)
-        )
-        queries = np.abs(
-            centers[aq]
-            + noise * rng.standard_normal((num_queries, d)).astype(np.float32)
-        )
-        return base.astype(np.float32), queries.astype(np.float32)
-    if kind in ("glove", "cohere"):
+    if kind in ("sift", "glove", "cohere"):
         # Clustered low-rank data with a heavy-tailed cluster-size
         # distribution, an isotropic background component, and queries
         # perturbed from base rows.  Real embedding corpora (GloVe,
@@ -106,8 +92,19 @@ def synthetic_corpus(
         # This design measures (100k, 768d, 1-bit): brute ceiling 0.99 at
         # rescore 300; graph recall 0.88 @ L=100 -> 0.96 @ L=300 —
         # glove-100-angular-like difficulty.
-        d = 100 if kind == "glove" else 768
-        rank = 48 if kind == "glove" else 96
+        # SIFT-128: real SIFT descriptors are non-negative local-gradient
+        # histograms with intrinsic dimensionality ~15-25 and continuous
+        # (not mega-clustered) structure; the previous 256-center/4000-
+        # points-per-cluster generator had cluster diameters below the
+        # SBQ quantization step, making within-cluster ranking pure noise
+        # for EVERY quantized index — unrepresentative of sift-1m-euclidean
+        # difficulty.  Same clustered-low-rank machinery, non-negative
+        # projection below.
+        if kind == "sift":
+            d, rank = 128, 24
+        else:
+            d = 100 if kind == "glove" else 768
+            rank = 48 if kind == "glove" else 96
         n_centers = 4096
         noise = 1.2
         bg_frac = 0.3
@@ -132,9 +129,15 @@ def synthetic_corpus(
         zq = zb[qi] + noise * rng.standard_normal(
             (num_queries, rank)
         ).astype(np.float32)
-        return (zb @ basis).astype(np.float32), (zq @ basis).astype(
-            np.float32
-        )
+        base = (zb @ basis).astype(np.float32)
+        queries = (zq @ basis).astype(np.float32)
+        if kind == "sift":
+            # Non-negative histogram-like range (|.| keeps the cluster
+            # geometry: nearby points stay nearby through a 1-Lipschitz
+            # map), scaled to SIFT's 0..~160 component range.
+            base = np.abs(base) * 25.0
+            queries = np.abs(queries) * 25.0
+        return base, queries
     if kind == "gauss":
         d = 128
         return (
