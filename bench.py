@@ -165,20 +165,25 @@ def main():
     # filtering_tests.rs:1005-1019) and the >=0.99 point (the reference's
     # published QPS/latency regime, README.md:17-21).  The sweep stops at
     # the deadline or once both are found.
-    # Points tuned on-hardware (results/sweep_explore_r3): headline first
-    # so an interrupt still reports the key regimes, then the >=0.99
-    # candidates, then curve fill-in.  expand per point: narrow beams are
-    # fastest multi-frontier (e=2), the headline point also tries e=1.
+    # Points tuned on-hardware (results/sweep_explore_r3 + the hybrid
+    # window grid): headline first so an interrupt still reports the key
+    # regimes, then the >=0.99 candidates (small-L/large-rescore with the
+    # full-width "beam" strategy — the visit budget keyed to L is what
+    # makes them fast), then the expansion-strategy mid band and curve
+    # fill-in.
     sweep = [
         QueryParams(search_list_size=150, rescore=300, expand=1),
         QueryParams(search_list_size=150, rescore=300, expand=2),
-        QueryParams(search_list_size=400, rescore=1000, expand=2),
-        QueryParams(search_list_size=512, rescore=1500, expand=2),
+        QueryParams(search_list_size=200, rescore=1500, expand=2,
+                    window_strategy="beam"),
+        QueryParams(search_list_size=300, rescore=1500, expand=2,
+                    window_strategy="beam"),
+        QueryParams(search_list_size=150, rescore=1000, expand=2),
+        QueryParams(search_list_size=200, rescore=1500, expand=2),
+        QueryParams(search_list_size=300, rescore=1500, expand=2),
         QueryParams(search_list_size=130, rescore=250, expand=2),
         QueryParams(search_list_size=100, rescore=150, expand=2),
         QueryParams(search_list_size=100, rescore=50, expand=4),
-        QueryParams(search_list_size=200, rescore=400, expand=2),
-        QueryParams(search_list_size=300, rescore=700, expand=2),
     ]
     points = []
     for params in sweep:
@@ -190,6 +195,7 @@ def main():
             "L": params.search_list_size,
             "rescore": params.rescore,
             "expand": params.expand,
+            "strategy": params.window_strategy,
             "qps": round(qps, 1),
             "recall": round(recall, 4),
         }

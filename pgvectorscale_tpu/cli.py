@@ -93,6 +93,7 @@ def cmd_search(args) -> int:
         search_list_size=args.search_list_size,
         rescore=args.rescore,
         expand=args.expand,
+        window_strategy=args.window_strategy,
     )
     t0 = time.perf_counter()
     with _maybe_profile(args.profile_dir):
@@ -218,6 +219,12 @@ def main(argv=None) -> int:
     s.add_argument("--rescore", type=int, default=50)
     s.add_argument("--expand", type=int, default=4,
                    help="multi-frontier width E (TPU knob)")
+    s.add_argument("--window-strategy", choices=("expand", "beam"),
+                   default="expand",
+                   help="how a rescore window larger than L is served: "
+                        "'expand' caps the beam at ~2L + 1-hop window "
+                        "expansion (fast); 'beam' widens the beam itself "
+                        "(strongest recall)")
     s.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the search here")
     s.add_argument("--show", type=int, default=10)

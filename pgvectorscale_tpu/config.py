@@ -265,11 +265,23 @@ class QueryParams:
       each search step visits the E best unvisited beam entries instead of
       one, cutting sequential loop length ~E× with no recall change.
       E=1 reproduces the reference's strict best-first visit order.
+    - window_strategy: how an SBQ index serves a rescore window larger
+      than the search list (the reference's unbounded candidate list lets
+      resort pull past L, scan.rs:244-305).  "expand" (default) caps the
+      beam at ~2L and widens the CANDIDATE window with the top beam
+      nodes' 1-hop neighborhood — measured 2-3x faster at iso-(L, rescore)
+      through the 0.96-0.987 recall band; "beam" widens the beam itself
+      to rescore+k (visit budget still keyed to L), the strongest-recall
+      form — the >=0.99 operating points use small L / large rescore here
+      (e.g. L=200, rescore=1500 -> recall 0.993 at 2.2x the QPS of
+      L=512/rescore=1500).  Plain storage always uses "beam" (no cheap
+      approximate measure to score an expansion with).
     """
 
     search_list_size: int = DEFAULT_QUERY_SEARCH_LIST_SIZE
     rescore: int = DEFAULT_QUERY_RESCORE
     expand: int = 4
+    window_strategy: str = "expand"
 
     def __post_init__(self):
         if self.search_list_size < 1:
@@ -278,3 +290,5 @@ class QueryParams:
             raise ValueError("rescore must be >= 0")
         if not (1 <= self.expand <= 64):
             raise ValueError("expand must be in [1, 64]")
+        if self.window_strategy not in ("expand", "beam"):
+            raise ValueError("window_strategy must be 'expand' or 'beam'")

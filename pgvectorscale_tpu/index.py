@@ -112,6 +112,68 @@ def _build_edge_codes(arrays: GraphArrays) -> jax.Array:
 # ----------------------------------------------------------------------
 
 
+def _expand_rescore_window(
+    arrays: GraphArrays,
+    edge_codes,  # u32[cap, R*W] flat cache, or None
+    query_codes: jax.Array,  # u32[Q, W]
+    beam_ids: jax.Array,  # i32[Q, L] ascending by distance
+    beam_dists: jax.Array,  # f32[Q, L]
+    *,
+    expand_m: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Widen the rescore candidate window WITHOUT widening the beam.
+
+    Measured on TPU (results/sweep_explore_r3.json regime): the exact
+    rescore itself is nearly free up to ~500 candidates, but a rescore
+    window larger than L used to force the beam itself to rescore+k wide
+    (the window could only pull from the final beam), and beam cost grows
+    superlinearly in width — L=512 traversal 2.4 s/batch vs 7.9 s at
+    width 1010.  Instead keep the beam at L and widen the window with the
+    1-hop out-neighborhood of the top ``expand_m`` beam nodes: contiguous
+    edge-cache rows + one MXU popcount batch, the same cheap reads the
+    traversal uses.  The union covers what a wider beam would have
+    visited (the wide beam's extra entries are exactly neighbors of
+    near-top nodes it expanded).
+
+    Candidate dedup: same-id duplicates carry identical approximate
+    distances, so after the id-sort + adjacent-equality mask the window
+    keeps one copy (reference semantics: the candidate stream dedups on
+    insertion, graph/mod.rs:77).
+    """
+    from .graph.build import _dedup_candidates
+
+    q, l = beam_ids.shape
+    r = arrays.adjacency.shape[1]
+    w = query_codes.shape[1]
+    top = beam_ids[:, :expand_m]  # [Q, m] best-m beam entries
+    safe = jnp.maximum(top, 0)
+    nbrs = arrays.adjacency[safe].reshape(q, expand_m * r)
+    valid = (top != INVALID_ID)[:, :, None] & (
+        arrays.adjacency[safe] != INVALID_ID
+    )
+    valid = valid.reshape(q, expand_m * r)
+    if edge_codes is not None:
+        ec = edge_codes[safe]  # [Q, m, R*W] contiguous rows
+        x = jnp.bitwise_xor(ec, jnp.tile(query_codes, (1, r))[:, None, :])
+        pops = lax.population_count(x).astype(jnp.int32)
+        nd = (
+            jnp.sum(pops.reshape(q, expand_m, r, w), axis=-1)
+            .reshape(q, expand_m * r)
+            .astype(jnp.float32)
+        )
+    else:
+        from .ops.hamming import hamming_gather
+
+        nd = hamming_gather(query_codes, arrays.codes, nbrs).astype(
+            jnp.float32
+        )
+    nd = jnp.where(valid, nd, _INF)
+    nbrs = jnp.where(valid, nbrs, INVALID_ID)
+    cand_ids = jnp.concatenate([beam_ids, nbrs], axis=1)
+    cand_dists = jnp.concatenate([beam_dists, nd], axis=1)
+    return _dedup_candidates(cand_ids, cand_dists)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "rescore_n", "distance_type", "use_exact", "filtered"),
@@ -679,11 +741,27 @@ class DiskannIndex:
 
         l = max(params.search_list_size, k)
         use_exact = self._needs_rescore(params)
-        # The beam must be wide enough to hold the rescore window: the
-        # reference's candidate list is unbounded, so resort can pull past
-        # the search list size (scan.rs:244-305).  The VISIT budget stays
-        # keyed to the user's L — extra width only widens the merge.
-        beam_width = max(l, params.rescore + k if use_exact else 0)
+        # The rescore window can be wider than the search list (the
+        # reference's candidate list is unbounded, so resort pulls past L
+        # — scan.rs:244-305).  SBQ "expand" strategy: cap the beam at
+        # ~2L and widen the CANDIDATE window with the top beam nodes'
+        # 1-hop neighborhood (_expand_rescore_window); "beam" (and plain
+        # storage, which has no cheap approximate measure to score an
+        # expansion) widens the beam itself, with the visit budget still
+        # keyed to the user's L.
+        window = params.rescore + k if use_exact else 0
+        expand_window_m = 0
+        beam_width = max(l, window)
+        if (
+            config.uses_sbq
+            and params.window_strategy == "expand"
+            and window > 2 * l + 16
+        ):
+            beam_width = 2 * l + 16
+            r = self.arrays.adjacency.shape[1]
+            expand_window_m = min(
+                beam_width, max(4, -(-2 * (window - beam_width) // r))
+            )
         # One snapshot read: concurrent writers swap self.arrays atomically
         # (GIL attribute store), so the search sees a consistent index state
         # — the reader half of the single-writer concurrency contract.
@@ -702,6 +780,7 @@ class DiskannIndex:
             use_exact=use_exact,
             filtered=filtered,
             expand_factor=min(params.expand, l),
+            expand_window_m=expand_window_m,
         )
 
         # Keep the raw result on device; stats transfer only on access
@@ -1127,6 +1206,7 @@ class SearchIterator:
         "use_exact",
         "filtered",
         "expand_factor",
+        "expand_window_m",
     ),
 )
 def _search_jit(
@@ -1144,9 +1224,14 @@ def _search_jit(
     use_exact: bool,
     filtered: bool,
     expand_factor: int,
+    expand_window_m: int = 0,
 ):
     """Fused query path: normalize + encode + start nodes + beam search +
-    tombstone/label filter + exact rescore + top-k — one device dispatch."""
+    tombstone/label filter + exact rescore + top-k — one device dispatch.
+
+    ``expand_window_m`` > 0: the rescore window is wider than the beam;
+    widen the CANDIDATE set with the 1-hop neighborhood of the top-m beam
+    nodes instead of widening the beam (see _expand_rescore_window)."""
     q = raw_queries.shape[0]
     qv = (
         preprocess_cosine(raw_queries)
@@ -1177,12 +1262,22 @@ def _search_jit(
         edge_codes=edge_codes,
         track_hist=False,  # query path never reads the visit history
     )
+    cand_ids, cand_dists = res.beam_ids, res.beam_dists
+    if expand_window_m > 0:
+        cand_ids, cand_dists = _expand_rescore_window(
+            arrays,
+            edge_codes,
+            qc,
+            cand_ids,
+            cand_dists,
+            expand_m=expand_window_m,
+        )
     ids, dists = _finalize_results(
         arrays,
         qv,
         query_labels,
-        res.beam_ids,
-        res.beam_dists,
+        cand_ids,
+        cand_dists,
         k=k,
         rescore_n=rescore_n,
         distance_type=config.distance_type,

@@ -74,6 +74,7 @@ def _shard_leading(tree, mesh: Mesh):
         "rescore_n",
         "use_exact",
         "filtered",
+        "expand_window_m",
     ),
 )
 def _sharded_search_step(
@@ -93,6 +94,7 @@ def _sharded_search_step(
     rescore_n: int,
     use_exact: bool,
     filtered: bool,
+    expand_window_m: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """All-shard search + exact rescore + cross-shard top-k merge.
 
@@ -125,14 +127,29 @@ def _sharded_search_step(
             expand_factor=expand_factor,
             edge_codes=ec,
         )
-        live = (res.beam_ids != INVALID_ID) & ~arrays.deleted[
-            jnp.maximum(res.beam_ids, 0)
+        cand_ids, cand_dists = res.beam_ids, res.beam_dists
+        if expand_window_m > 0:
+            # Beam-decoupled rescore window (index._expand_rescore_window):
+            # widen the candidate set with the top-m beam nodes' 1-hop
+            # neighborhood instead of widening the beam.
+            from ..index import _expand_rescore_window
+
+            cand_ids, cand_dists = _expand_rescore_window(
+                arrays,
+                ec,
+                query_codes,
+                cand_ids,
+                cand_dists,
+                expand_m=expand_window_m,
+            )
+        live = (cand_ids != INVALID_ID) & ~arrays.deleted[
+            jnp.maximum(cand_ids, 0)
         ]
         if filtered and query_labels.shape[-1] > 0:
-            node_l = arrays.node_labels[jnp.maximum(res.beam_ids, 0)]
+            node_l = arrays.node_labels[jnp.maximum(cand_ids, 0)]
             live = live & overlaps(node_l, query_labels[:, None, :])
-        d = jnp.where(live, res.beam_dists, jnp.inf)
-        ids = jnp.where(live, res.beam_ids, INVALID_ID)
+        d = jnp.where(live, cand_dists, jnp.inf)
+        ids = jnp.where(live, cand_ids, INVALID_ID)
         d, ids = lax.sort((d, ids), dimension=1, num_keys=1)
         m = min(rescore_n + k, ids.shape[1]) if use_exact else k
         top_ids = ids[:, :m]
@@ -684,8 +701,22 @@ class ShardedDiskannIndex:
 
         l = max(params.search_list_size, k)
         use_exact = self._needs_rescore(params)
-        # Beam wide enough for the rescore window (see DiskannIndex.search).
-        beam_width = max(l, params.rescore + k if use_exact else 0)
+        # Window-vs-beam policy mirrors DiskannIndex.search ("expand"
+        # caps the beam at ~2L + 1-hop window expansion; "beam" widens
+        # the beam itself).
+        window = params.rescore + k if use_exact else 0
+        expand_window_m = 0
+        beam_width = max(l, window)
+        if (
+            config.uses_sbq
+            and params.window_strategy == "expand"
+            and window > 2 * l + 16
+        ):
+            beam_width = 2 * l + 16
+            r = self.stacked.adjacency.shape[-1]
+            expand_window_m = min(
+                beam_width, max(4, -(-2 * (window - beam_width) // r))
+            )
         # Snapshot read + matching cache (single-writer/snapshot-reader
         # contract, same as DiskannIndex.search).
         stacked = self.stacked
@@ -705,6 +736,7 @@ class ShardedDiskannIndex:
             rescore_n=params.rescore,
             use_exact=use_exact,
             filtered=filtered,
+            expand_window_m=expand_window_m,
         )
         return np.asarray(ids), np.asarray(dists)
 
