@@ -126,11 +126,16 @@ def run_sift1m(n, q):
     assert config.bits_per_dimension == 2  # <900 dims -> 2-bit default
     index = _build(vectors, config)
     gt = _ground_truth(vectors, queries, k, DistanceType.L2)
-    for L, resc, e in [(100, 50, 4), (100, 150, 4), (150, 300, 2),
-                       (200, 400, 2), (300, 600, 2)]:
-        params = QueryParams(search_list_size=L, rescore=resc, expand=e)
+    for L, resc, e, strat in [
+        (100, 50, 4, "expand"), (100, 150, 4, "expand"),
+        (150, 300, 2, "expand"), (150, 1000, 2, "expand"),
+        (300, 1500, 2, "expand"), (200, 1500, 2, "beam"),
+    ]:
+        params = QueryParams(search_list_size=L, rescore=resc, expand=e,
+                             window_strategy=strat)
         ids, qps = _timed_search(index, queries, k, params)
-        _emit({"L": L, "rescore": resc, "expand": e, "qps": round(qps, 1),
+        _emit({"L": L, "rescore": resc, "expand": e, "strategy": strat,
+               "qps": round(qps, 1),
                "recall": round(_recall(gt, ids), 4)})
 
 
@@ -146,12 +151,17 @@ def run_glove(n, q):
     index = _build(vectors, config)
     gt = _ground_truth(vectors, queries, k, DistanceType.COSINE)
     # Angular recall/QPS curve: low-latency to high-recall operating points.
-    for L, resc, e in [(50, 30, 4), (100, 50, 4), (100, 150, 4),
-                       (150, 300, 2), (200, 450, 2), (300, 700, 2),
-                       (500, 1000, 2)]:
-        params = QueryParams(search_list_size=L, rescore=resc, expand=e)
+    for L, resc, e, strat in [
+        (50, 30, 4, "expand"), (100, 50, 4, "expand"),
+        (100, 150, 4, "expand"), (150, 300, 2, "expand"),
+        (150, 1000, 2, "expand"), (300, 1500, 2, "expand"),
+        (200, 1500, 2, "beam"), (300, 1500, 2, "beam"),
+    ]:
+        params = QueryParams(search_list_size=L, rescore=resc, expand=e,
+                             window_strategy=strat)
         ids, qps = _timed_search(index, queries, k, params)
-        _emit({"L": L, "rescore": resc, "expand": e, "qps": round(qps, 1),
+        _emit({"L": L, "rescore": resc, "expand": e, "strategy": strat,
+               "qps": round(qps, 1),
                "recall": round(_recall(gt, ids), 4)})
 
 
