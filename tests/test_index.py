@@ -581,3 +581,35 @@ def test_compact_stays_on_device(rng):
     assert [int(e) for e in compacted.to_external(ids)[:, 0]] == [
         100, 101, 102, 103,
     ]
+
+
+def test_window_strategies_equivalent_contract(rng):
+    """Both window strategies serve a rescore window larger than the beam
+    (scan.rs:244-305 semantics): self-queries are exact, results are
+    valid/live, and recall is within a small gap of brute force."""
+    n, d = 3000, 32
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((48, d)).astype(np.float32)
+    index = DiskannIndex.build(
+        vectors,
+        IndexConfig(
+            num_dimensions=d,
+            distance_type=DistanceType.L2,
+            num_neighbors=16,
+            search_list_size=32,
+        ),
+    )
+    recalls = {}
+    for strat in ("expand", "beam"):
+        params = QueryParams(
+            search_list_size=48, rescore=400, window_strategy=strat
+        )
+        ids, _ = index.search(vectors[:8], k=1, params=params)
+        assert [int(i) for i in ids[:, 0]] == list(range(8))
+        recalls[strat] = _recall_at_k(
+            index, vectors, queries, 10, DistanceType.L2, params=params
+        )
+    # Both serve the window: recall well above the beam-only ceiling and
+    # within a small gap of each other.
+    assert recalls["beam"] >= 0.9, recalls
+    assert recalls["expand"] >= recalls["beam"] - 0.08, recalls
