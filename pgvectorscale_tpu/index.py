@@ -663,6 +663,25 @@ class DiskannIndex:
                 label_list, self.config.max_labels_per_vector
             )
             if n_reuse:
+                # A recycled row may still be registered as a label START
+                # node for labels it no longer carries — clear those
+                # entries first (the label can re-register below or on a
+                # future add; an uncovered label just falls back to the
+                # default start, never returns wrong results).
+                keys = np.asarray(arrays.label_start_keys)
+                start_ids = np.asarray(arrays.label_start_ids)
+                stale = np.isin(start_ids, reuse_rows) & (
+                    keys != LABEL_SENTINEL
+                )
+                if stale.any():
+                    keys = keys.copy()
+                    keys[stale] = LABEL_SENTINEL
+                    start_ids = start_ids.copy()
+                    start_ids[stale] = INVALID_ID
+                    arrays = arrays._replace(
+                        label_start_keys=jnp.asarray(keys),
+                        label_start_ids=jnp.asarray(start_ids),
+                    )
                 arrays = arrays._replace(
                     node_labels=arrays.node_labels.at[
                         jnp.asarray(reuse_rows)

@@ -166,3 +166,48 @@ def test_filtered_recall_multi_label(labeled_index, rng):
         for r in range(15)
     )
     assert hits / 150 >= 0.9
+
+
+def test_label_start_cleared_on_slot_reuse(rng):
+    """A recycled row must not remain a START node for labels it no longer
+    carries (update_start_nodes registers sticky starts,
+    graph/mod.rs:490-533; tombstone reuse is the TPU-side extension)."""
+    from pgvectorscale_tpu.labels import LABEL_SENTINEL
+
+    n, d = 300, 16
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    # Label 7 lives on exactly one row; everything else is label 1.
+    labels = [[7] if i == 42 else [1] for i in range(n)]
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=10,
+        search_list_size=16,
+        max_labels_per_vector=1,
+    )
+    index = DiskannIndex.build(vectors, config, labels=labels)
+    keys = np.asarray(index.arrays.label_start_keys)
+    ids = np.asarray(index.arrays.label_start_ids)
+    assert ids[np.nonzero(keys == 7)[0][0]] == 42
+
+    # Delete row 42 and recycle it under label 3.
+    index.delete(np.asarray([42], dtype=np.int32))
+    new_ids = index.add(
+        rng.standard_normal((1, d)).astype(np.float32), labels=[[3]]
+    )
+    assert new_ids.tolist() == [42]
+    keys = np.asarray(index.arrays.label_start_keys)
+    ids = np.asarray(index.arrays.label_start_ids)
+    # label 7 no longer claims row 42; label 3 is covered (by row 42).
+    lab7 = np.nonzero(keys == 7)[0]
+    assert len(lab7) == 0 or ids[lab7[0]] != 42
+    assert 3 in set(int(k) for k in keys if k != LABEL_SENTINEL)
+    # Filtered search for label 3 finds the recycled row; label 7 returns
+    # nothing wrong (no rows carry it anymore).
+    got, _ = index.search(
+        vectors[:2], k=3,
+        params=QueryParams(search_list_size=16, rescore=8),
+        query_labels=[[3], [7]],
+    )
+    assert 42 in set(int(i) for i in got[0] if i >= 0)
+    assert all(int(i) == -1 for i in got[1])
