@@ -211,6 +211,12 @@ def run_filtered(n, q):
         _, ids = jax.lax.top_k(-d, k)
         return ids
 
+    # Precompute ground truth for BOTH label widths BEFORE any index
+    # search: the first search materializes the ~6.6 GB edge-code cache,
+    # which cannot coexist with the f32 corpus copy + [Qc, N] score
+    # tensors on a 16 GB chip.  GT is chunked over queries for the same
+    # reason.
+    cases = []
     for n_query_labels in (1, 2):
         qlabels = [
             sorted(rng.choice(n_labels, size=n_query_labels, replace=False,
@@ -223,8 +229,6 @@ def run_filtered(n, q):
             for lbl in ls:
                 m |= (label_arr == lbl).any(axis=1)
             allowed[r] = m
-        # Chunked over queries: the [Q, N] score + mask tensors at 1M rows
-        # would not fit HBM in one shot.
         gt_chunk = 128
         gt_parts = []
         for i in range(0, q, gt_chunk):
@@ -237,7 +241,9 @@ def run_filtered(n, q):
                     )
                 )
             )
-        gt = np.concatenate(gt_parts, axis=0)
+        cases.append((n_query_labels, qlabels, np.concatenate(gt_parts, 0)))
+    del dv, dq  # free the f32 corpus copy before the cache materializes
+    for n_query_labels, qlabels, gt in cases:
         params = QueryParams(search_list_size=150, rescore=300, expand=2)
         ids, qps = _timed_search(
             index, queries, k, params, query_labels=qlabels
