@@ -297,3 +297,42 @@ def test_sharded_cache_invalidated_by_add(rng):
     assert index._edge_codes is not cache_before
     ext = index.to_external(ids)
     assert (ext[:, 0] >= n).all()
+
+
+def test_sharded_window_strategies(rng):
+    """The sharded path serves rescore windows larger than the beam under
+    both window strategies (mirrors DiskannIndex; the expansion uses the
+    per-shard edge-code cache rows)."""
+    from pgvectorscale_tpu import DiskannIndex
+
+    n, d, q, k = 1500, 64, 30, 10
+    vectors, queries = _lowrank(rng, n, q, d)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.COSINE,
+        num_neighbors=20,
+        search_list_size=50,
+    )
+    dv = preprocess_cosine(jnp.asarray(vectors))
+    dq = preprocess_cosine(jnp.asarray(queries))
+    gt, _ = brute_force_search(
+        dq, dv, jnp.ones(n, bool), k=k, distance_type=DistanceType.COSINE
+    )
+    gt = np.asarray(gt)
+
+    def recall_of(rows):
+        return sum(
+            len(set(gt[r]) & set(int(i) for i in rows[r] if i >= 0))
+            for r in range(q)
+        ) / (q * k)
+
+    index = ShardedDiskannIndex.build(vectors, config, _mesh())
+    recalls = {}
+    for strat in ("expand", "beam"):
+        p = QueryParams(search_list_size=40, rescore=400,
+                        window_strategy=strat)
+        ids, dists = index.search(queries, k=k, params=p)
+        recalls[strat] = recall_of(index.to_external(ids))
+        assert np.all(np.diff(dists, axis=1) >= -1e-6)
+    assert recalls["beam"] >= 0.9, recalls
+    assert recalls["expand"] >= recalls["beam"] - 0.08, recalls
