@@ -7,6 +7,9 @@ SQL DDL/DML (`CREATE INDEX ... USING diskann`, `SET diskann.*`,
 Commands:
   build   — build an index from a .fvecs/.npy vector file
   search  — query a saved index with vectors from a file
+  add     — insert vectors into a saved index (aminsert analog)
+  delete  — tombstone rows by external id (DELETE analog)
+  compact — rebuild without tombstoned rows (VACUUM FULL analog)
   info    — print index metadata / graph statistics
   bench   — recall/QPS sweep against brute-force ground truth
 
@@ -123,6 +126,79 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_add(args) -> int:
+    """Insert vectors into a saved index (aminsert analog; tombstoned
+    rows are recycled in place before the store grows)."""
+    from . import DiskannIndex
+
+    index = DiskannIndex.load(args.index)
+    vectors = _load_vectors(args.vectors, args.max_rows)
+    t0 = time.perf_counter()
+    new_ids = index.add(vectors)
+    dt = time.perf_counter() - t0
+    index.save(args.output or args.index)
+    print(
+        json.dumps(
+            {
+                "added": len(vectors),
+                "seconds": round(dt, 2),
+                "rows_per_sec": round(len(vectors) / dt, 1),
+                "count": index.count,
+                "live": index.num_live,
+                "external_ids": [
+                    int(e) for e in index.external_ids[new_ids[:5]]
+                ],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """Tombstone rows by external id (the DELETE + vacuum-tombstone
+    analog; space is reclaimed by later adds or by compact)."""
+    from . import DiskannIndex
+
+    index = DiskannIndex.load(args.index)
+    ext = np.asarray([int(x) for x in args.ids], dtype=np.int64)
+    index.delete_external(ext)
+    index.save(args.output or args.index)
+    print(
+        json.dumps(
+            {
+                "deleted": len(ext),
+                "count": index.count,
+                "live": index.num_live,
+                "tombstoned": index.num_deleted,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_compact(args) -> int:
+    """Rebuild without tombstoned rows (VACUUM FULL analog)."""
+    from . import DiskannIndex
+
+    index = DiskannIndex.load(args.index)
+    before = index.count
+    t0 = time.perf_counter()
+    compacted = index.compact()
+    dt = time.perf_counter() - t0
+    compacted.save(args.output or args.index)
+    print(
+        json.dumps(
+            {
+                "before": before,
+                "after": compacted.count,
+                "reclaimed": before - compacted.count,
+                "seconds": round(dt, 2),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_info(args) -> int:
     from . import DiskannIndex
     from .debug import count_reachable_nodes, degree_histogram
@@ -230,6 +306,25 @@ def main(argv=None) -> int:
     s.add_argument("--show", type=int, default=10)
     s.add_argument("--max-rows", type=int, default=None)
     s.set_defaults(fn=cmd_search)
+
+    a = sub.add_parser("add", help="insert vectors into a saved index")
+    a.add_argument("index")
+    a.add_argument("vectors")
+    a.add_argument("-o", "--output", default=None,
+                   help="write here instead of overwriting the index")
+    a.add_argument("--max-rows", type=int, default=None)
+    a.set_defaults(fn=cmd_add)
+
+    dl = sub.add_parser("delete", help="tombstone rows by external id")
+    dl.add_argument("index")
+    dl.add_argument("ids", nargs="+", help="external ids to delete")
+    dl.add_argument("-o", "--output", default=None)
+    dl.set_defaults(fn=cmd_delete)
+
+    c = sub.add_parser("compact", help="rebuild without tombstoned rows")
+    c.add_argument("index")
+    c.add_argument("-o", "--output", default=None)
+    c.set_defaults(fn=cmd_compact)
 
     i = sub.add_parser("info", help="index metadata and graph stats")
     i.add_argument("index")
