@@ -110,8 +110,12 @@ def bench_edgecache():
     sel = jnp.asarray(rng.integers(0, cap, (q, e), dtype=np.int32))
     qcodes = jnp.asarray(rng.integers(0, 2**32, (q, w), dtype=np.uint32))
 
+    # Big tensors are jit ARGUMENTS, not closure captures — captures
+    # become program constants (and blow the tunneled remote-compile
+    # request limit; see CLAUDE.md), and constant-folding would skew the
+    # very layout behavior this bench measures.
     @jax.jit
-    def scattered(sel, qcodes):
+    def scattered(adjacency, codes, sel, qcodes):
         from jax import lax
 
         nbrs = adjacency[sel].reshape(q, e * r)
@@ -119,7 +123,7 @@ def bench_edgecache():
         x = jnp.bitwise_xor(g, qcodes[:, None, :])
         return jnp.sum(lax.population_count(x).astype(jnp.int32), axis=-1)
 
-    t_scat = _time(scattered, sel, qcodes)
+    t_scat = _time(scattered, adjacency, codes, sel, qcodes)
 
     from pgvectorscale_tpu.store import GraphArrays  # noqa: F401  (doc link)
     from pgvectorscale_tpu.index import _build_edge_codes
@@ -133,7 +137,7 @@ def bench_edgecache():
     edge_codes = _build_edge_codes(a)
 
     @jax.jit
-    def cached(sel, qcodes):
+    def cached(edge_codes, sel, qcodes):
         from jax import lax
 
         ec = edge_codes[jnp.maximum(sel, 0)]  # [q, e, r*w] contiguous rows
@@ -144,7 +148,7 @@ def bench_edgecache():
             axis=-1,
         )
 
-    t_cache = _time(cached, sel, qcodes)
+    t_cache = _time(cached, edge_codes, sel, qcodes)
     _emit(
         {
             "bench": "edge-code-reads",

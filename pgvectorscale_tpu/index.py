@@ -608,6 +608,13 @@ class DiskannIndex:
             if labels is not None
             else ([None] * m if self.config.has_labels else None)
         )
+        # Validate labels BEFORE any state mutation: a bad label row must
+        # leave the index exactly at its pre-add snapshot.
+        label_arr = (
+            make_label_array(label_list, self.config.max_labels_per_vector)
+            if self.config.has_labels
+            else None
+        )
 
         n0 = self.count
         # --- tombstone slot reuse (the in-place side of vacuum,
@@ -645,8 +652,6 @@ class DiskannIndex:
                 jnp.asarray(reuse_rows),
                 config=self.config,
             )
-            self._deleted_np[reuse_rows] = False
-            self.external_ids[reuse_rows] = external_ids[:n_reuse]
         if fresh:
             arrays = _add_ingest_jit(
                 arrays,
@@ -655,13 +660,7 @@ class DiskannIndex:
                 jnp.asarray(n0, dtype=jnp.int32),
                 config=self.config,
             )
-            self.external_ids = np.concatenate(
-                [self.external_ids, external_ids[n_reuse:]]
-            )
         if self.config.has_labels:
-            label_arr = make_label_array(
-                label_list, self.config.max_labels_per_vector
-            )
             if n_reuse:
                 # A recycled row may still be registered as a label START
                 # node for labels it no longer carries — clear those
@@ -703,6 +702,22 @@ class DiskannIndex:
                 )
 
         self.arrays = arrays
+        # Host mirrors commit only now, after the device arrays are
+        # published — an exception anywhere above leaves both sides at the
+        # pre-add snapshot.
+        if n_reuse:
+            self._deleted_np[reuse_rows] = False
+            # Copy-on-write: external_ids was append-only before slot
+            # reuse existed, so a concurrent reader's snapshot could never
+            # see a row remapped.  Keep that contract — never overwrite
+            # the array a reader may hold.
+            ext = self.external_ids.copy()
+            ext[reuse_rows] = external_ids[:n_reuse]
+            self.external_ids = ext
+        if fresh:
+            self.external_ids = np.concatenate(
+                [self.external_ids, external_ids[n_reuse:]]
+            )
         fresh_ids = np.arange(n0, needed, dtype=np.int32)
         if n_reuse:
             # Reused rows sit anywhere in the id space, so prefix-based
@@ -834,6 +849,9 @@ class DiskannIndex:
             and cached[1] is a.adjacency
         ):
             return cached[2]
+        # Drop the stale cache BEFORE building the new one: a structure
+        # sized near its HBM gate must never be resident twice.
+        self._edge_codes = None
         val = _build_edge_codes(a)
         # Cache depends only on (codes, adjacency): deletes (tombstone
         # flips) keep it valid; adds/prunes replace those tensors and so

@@ -258,9 +258,17 @@ def _build_sharded_edge_codes(stacked: GraphArrays) -> jax.Array:
     # intermediate lane-pads W -> 128).
     w_padded = -(-w // 128) * 128
     chunk = min(cap, max(1, (256 << 20) // max(r * w_padded * 4, 1)))
-    out = jnp.zeros_like(
-        stacked.codes, shape=(p, cap, r * w)
-    )
+    # Allocate the output ALREADY SHARDED over the mesh: zeros_like with a
+    # new shape silently drops the NamedSharding and materializes all P
+    # shards' worth on one device (P x the per-shard HBM gate's budget).
+    out_sharding = None
+    if isinstance(stacked.codes.sharding, NamedSharding):
+        s = stacked.codes.sharding
+        out_sharding = NamedSharding(s.mesh, P(*s.spec[:1], None, None))
+    out = jax.jit(
+        lambda: jnp.zeros((p, cap, r * w), dtype=stacked.codes.dtype),
+        out_shardings=out_sharding,
+    )()
     for i0 in range(0, cap, chunk):
         out = _sharded_edge_codes_chunk(
             out,
@@ -484,6 +492,9 @@ class ShardedDiskannIndex:
             and cached[1] is s.adjacency
         ):
             return cached[2]
+        # Drop the stale cache BEFORE building the new one: holding both
+        # doubles peak HBM for a structure sized near its gate.
+        self._edge_codes = None
         val = _build_sharded_edge_codes(s)
         self._edge_codes = (s.codes, s.adjacency, val)
         return val

@@ -277,6 +277,33 @@ def test_sharded_edge_code_cache_parity(rng, monkeypatch):
     np.testing.assert_allclose(d_c, d_n, rtol=0, atol=0)
 
 
+def test_sharded_edge_code_cache_stays_on_mesh(rng):
+    """The cache must be ALLOCATED shard-local (leading axis over mesh
+    axis n).  jnp.zeros_like with a new shape silently drops the
+    NamedSharding, which would materialize all P shards' cache on one
+    chip — P x what the per-shard HBM gate budgeted."""
+    n, d = 640, 32
+    vectors, _ = _lowrank(rng, n, 0, d)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=12,
+        search_list_size=24,
+    )
+    mesh = _mesh()
+    index = ShardedDiskannIndex.build(vectors, config, mesh)
+    index.search(vectors[:4], k=1)  # builds the cache lazily
+    assert index._edge_codes is not None
+    cache = index._edge_codes[2]
+    sharding = cache.sharding
+    assert isinstance(sharding, jax.sharding.NamedSharding)
+    assert sharding.spec[0] == "n"
+    p = cache.shape[0]
+    n_dev = len(mesh.devices.ravel())
+    for shard in cache.addressable_shards:
+        assert shard.data.shape[0] == p // n_dev
+
+
 def test_sharded_cache_invalidated_by_add(rng):
     """Mutations must invalidate the cache (identity-keyed): a search after
     add() sees the new adjacency, not stale cached codes."""

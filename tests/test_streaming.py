@@ -168,3 +168,70 @@ def test_tombstone_slot_reuse_keeps_capacity_flat(rng):
     assert set(ids[:64].tolist()) == set(int(i) for i in dead)
     assert (ids[64:] >= n).all()
     assert index.num_deleted == 0
+
+
+def test_slot_reuse_copy_on_write_external_ids(rng):
+    """external_ids is copy-on-write under slot reuse: a reader holding
+    the pre-recycle snapshot must keep its original row->external mapping
+    (append-only contract; snapshot-reader model)."""
+    n, d = 256, 16
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=8,
+        search_list_size=16,
+    )
+    index = DiskannIndex.build(vectors, config)
+    snapshot = index.external_ids  # what a concurrent reader would hold
+    before = snapshot.copy()
+
+    dead = np.arange(0, 32, dtype=np.int32)
+    index.delete(dead)
+    index.add(
+        rng.standard_normal((32, d)).astype(np.float32),
+        external_ids=np.arange(n, n + 32, dtype=np.int64),
+    )
+    # The reader's array is untouched; the writer sees the new mapping.
+    np.testing.assert_array_equal(snapshot, before)
+    assert (index.external_ids[:32] == np.arange(n, n + 32)).all()
+
+
+def test_add_failure_leaves_index_unchanged(rng):
+    """A label-validation error mid-add must leave the index at its
+    pre-add snapshot: no half-committed tombstone flips, external ids, or
+    device rows (the single-writer model's atomicity contract)."""
+    n, d = 200, 16
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=8,
+        search_list_size=16,
+        max_labels_per_vector=2,
+    )
+    index = DiskannIndex.build(
+        vectors, config, labels=[[1] for _ in range(n)]
+    )
+    dead = np.arange(0, 8, dtype=np.int32)
+    index.delete(dead)
+    deleted_before = index.num_deleted
+    ext_before = index.external_ids.copy()
+    arrays_before = index.arrays
+
+    bad = rng.standard_normal((8, d)).astype(np.float32)
+    with pytest.raises(ValueError):
+        index.add(bad, labels=[[1, 2, 3]] * 8)  # 3 labels > max 2
+
+    assert index.num_deleted == deleted_before  # tombstones intact
+    np.testing.assert_array_equal(index.external_ids, ext_before)
+    assert index.arrays is arrays_before  # device state unpublished
+    # The failed rows were never inserted: a retry with valid labels works
+    # and recycles the tombstoned slots.
+    ids = index.add(
+        bad,
+        external_ids=np.arange(n, n + 8, dtype=np.int64),
+        labels=[[1, 2]] * 8,
+    )
+    assert set(ids.tolist()) == set(int(i) for i in dead)
+    assert index.num_deleted == 0
