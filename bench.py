@@ -176,8 +176,12 @@ def main():
         QueryParams(search_list_size=150, rescore=300, expand=2),
         QueryParams(search_list_size=200, rescore=1500, expand=2,
                     window_strategy="beam"),
+        QueryParams(search_list_size=200, rescore=1500, expand=2,
+                    window_strategy="scored"),
         QueryParams(search_list_size=300, rescore=1500, expand=2,
                     window_strategy="beam"),
+        QueryParams(search_list_size=300, rescore=1500, expand=2,
+                    window_strategy="scored"),
         QueryParams(search_list_size=150, rescore=1000, expand=2),
         QueryParams(search_list_size=200, rescore=1500, expand=2),
         QueryParams(search_list_size=300, rescore=1500, expand=2),

@@ -295,12 +295,14 @@ def main(argv=None) -> int:
     s.add_argument("--rescore", type=int, default=50)
     s.add_argument("--expand", type=int, default=4,
                    help="multi-frontier width E (TPU knob)")
-    s.add_argument("--window-strategy", choices=("expand", "beam"),
+    s.add_argument("--window-strategy", choices=("expand", "beam", "scored"),
                    default="expand",
                    help="how a rescore window larger than L is served: "
                         "'expand' caps the beam at ~2L + 1-hop window "
                         "expansion (fast); 'beam' widens the beam itself "
-                        "(strongest recall)")
+                        "(strongest recall); 'scored' keeps the beam at L "
+                        "and buffers the best window-size scored "
+                        "candidates (wide-beam recall, narrow-beam cost)")
     s.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the search here")
     s.add_argument("--show", type=int, default=10)

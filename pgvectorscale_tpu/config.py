@@ -274,8 +274,13 @@ class QueryParams:
       to rescore+k (visit budget still keyed to L), the strongest-recall
       form — the >=0.99 operating points use small L / large rescore here
       (e.g. L=200, rescore=1500 -> recall 0.993 at 2.2x the QPS of
-      L=512/rescore=1500).  Plain storage always uses "beam" (no cheap
-      approximate measure to score an expansion with).
+      L=512/rescore=1500); "scored" keeps the beam at L and retains the
+      best rescore+k of ALL scored candidates in a side buffer (what the
+      reference's unbounded candidate list keeps implicitly,
+      graph/mod.rs:64-98) — wide-beam window quality at narrow-beam
+      traversal cost.  Plain storage serves "expand" as "beam" (no cheap
+      approximate measure to score an expansion with); "scored" works for
+      both storages.
     """
 
     search_list_size: int = DEFAULT_QUERY_SEARCH_LIST_SIZE
@@ -290,5 +295,7 @@ class QueryParams:
             raise ValueError("rescore must be >= 0")
         if not (1 <= self.expand <= 64):
             raise ValueError("expand must be in [1, 64]")
-        if self.window_strategy not in ("expand", "beam"):
-            raise ValueError("window_strategy must be 'expand' or 'beam'")
+        if self.window_strategy not in ("expand", "beam", "scored"):
+            raise ValueError(
+                "window_strategy must be 'expand', 'beam' or 'scored'"
+            )

@@ -134,6 +134,51 @@ def merge_sorted_into_beam(
     return d[:, :bl], ids[:, :bl], vis[:, :bl]
 
 
+def merge_sorted_into_window(
+    win_d: jax.Array,  # f32[Q, W] ascending
+    win_ids: jax.Array,  # i32[Q, W]
+    cand_d: jax.Array,  # f32[Q, E] unsorted (INF for invalid)
+    cand_ids: jax.Array,  # i32[Q, E]
+) -> tuple[jax.Array, jax.Array]:
+    """Merge a scored-candidate block into the rescore-window buffer and
+    keep the best W — the vis-less twin of ``merge_sorted_into_beam``.
+
+    The window may hold the same id twice (a candidate evicted from the
+    beam between two proposals carries the same approximate distance both
+    times); callers dedup once at finalize instead of paying a per-step
+    membership test against a W-wide buffer."""
+    q, wl = win_d.shape
+    er = cand_d.shape[1]
+    cd, cid = lax.sort((cand_d, cand_ids), dimension=1, num_keys=1)
+    cd, cid = cd[:, ::-1], cid[:, ::-1]  # descending
+
+    n = 1 << (wl + er - 1).bit_length()
+    pad = n - wl - er
+    d = jnp.concatenate(
+        [win_d, jnp.full((q, pad), INF, jnp.float32), cd], axis=1
+    )
+    ids = jnp.concatenate(
+        [win_ids, jnp.full((q, pad), INVALID_ID, jnp.int32), cid], axis=1
+    )
+    stride = n // 2
+    while stride >= 1:
+        ds = d.reshape(q, -1, 2, stride)
+        is_ = ids.reshape(q, -1, 2, stride)
+        lo_d, hi_d = ds[:, :, 0, :], ds[:, :, 1, :]
+        swap = lo_d > hi_d
+        d = jnp.stack(
+            [jnp.where(swap, hi_d, lo_d), jnp.where(swap, lo_d, hi_d)],
+            axis=2,
+        ).reshape(q, n)
+        lo_i, hi_i = is_[:, :, 0, :], is_[:, :, 1, :]
+        ids = jnp.stack(
+            [jnp.where(swap, hi_i, lo_i), jnp.where(swap, lo_i, hi_i)],
+            axis=2,
+        ).reshape(q, n)
+        stride //= 2
+    return d[:, :wl], ids[:, :wl]
+
+
 class SearchResult(NamedTuple):
     beam_ids: jax.Array  # i32[Q, L] sorted by distance
     beam_dists: jax.Array  # f32[Q, L]
@@ -143,6 +188,8 @@ class SearchResult(NamedTuple):
     n_visited: jax.Array  # i32[Q]
     n_dist_comps: jax.Array  # i32[Q] (stats: StatsDistanceComparison analog)
     iters: jax.Array  # i32 scalar
+    window_ids: jax.Array  # i32[Q, Wn] scored-candidate window ([Q,1] off)
+    window_dists: jax.Array  # f32[Q, Wn]
 
 
 def _candidate_distances(
@@ -210,6 +257,7 @@ def get_start_ids(
         "filtered",
         "expand_factor",
         "track_hist",
+        "window_n",
     ),
 )
 def beam_search(
@@ -227,6 +275,7 @@ def beam_search(
     expand_factor: int = 1,
     edge_codes: Optional[jax.Array] = None,  # u32[cap, R*W] flat
     track_hist: bool = True,
+    window_n: int = 0,
 ) -> SearchResult:
     """Batched greedy beam search.
 
@@ -238,6 +287,14 @@ def beam_search(
     latency-bound.  E=1 reproduces the reference's strict best-first
     order (ListSearchResult::visit_closest, graph/mod.rs:153-170);
     ``max_iters`` is the *visit* budget regardless of E.
+
+    ``window_n`` > 0 keeps a side buffer of the best ``window_n`` scored
+    candidates seen ANYWHERE in the search (the "scored" rescore-window
+    strategy).  This is what the reference's unbounded candidate list
+    retains implicitly (ListSearchResult, graph/mod.rs:64-98): a rescore
+    window wider than L no longer requires widening the beam — the beam
+    stays L-wide (cheap top_k / dedup / merge) while the window buffer
+    absorbs every scored candidate via one bitonic merge per step.
     """
     q, s = start_ids.shape
     l = search_list_size
@@ -293,12 +350,25 @@ def beam_search(
     hist_dists = jnp.full((q, h_cap), INF, dtype=jnp.float32)
     n_visited = jnp.zeros((q,), dtype=jnp.int32)
 
+    # Scored-candidate window buffer, seeded from the (sorted) start-node
+    # beam so start nodes are rescore candidates too.
+    wn = window_n if window_n > 0 else 1
+    win_pad = max(wn - l, 0)
+    win_ids = jnp.concatenate(
+        [beam_ids, jnp.full((q, win_pad), INVALID_ID, jnp.int32)], axis=1
+    )[:, :wn]
+    win_dists = jnp.concatenate(
+        [beam_dists, jnp.full((q, win_pad), INF, jnp.float32)], axis=1
+    )[:, :wn]
+
     state = (
         beam_ids,
         beam_dists,
         beam_visited,
         hist_ids,
         hist_dists,
+        win_ids,
+        win_dists,
         n_visited,
         n_comps0,
         jnp.zeros((), dtype=jnp.int32),
@@ -307,7 +377,8 @@ def beam_search(
     iter_bound = -(-max_iters // e) + 1  # visit budget / frontier width
 
     def cond(state):
-        beam_ids, beam_dists, beam_visited, _, _, n_visited, _, it = state
+        beam_ids, beam_dists, beam_visited = state[:3]
+        n_visited, it = state[7], state[9]
         has_unvisited = jnp.any(
             (beam_ids != INVALID_ID) & ~beam_visited, axis=1
         )
@@ -324,6 +395,8 @@ def beam_search(
             beam_visited,
             hist_ids,
             hist_dists,
+            win_ids,
+            win_dists,
             n_visited,
             n_comps,
             it,
@@ -443,6 +516,14 @@ def beam_search(
             cand_d = jnp.where(valid, s_d, INF)
         n_comps = n_comps + jnp.sum(valid, axis=1, dtype=jnp.int32)
 
+        if window_n > 0:
+            # Absorb every scored candidate into the rescore window —
+            # this is the ONLY state wider than the beam, and its merge
+            # is the only per-step cost of the "scored" strategy.
+            win_dists, win_ids = merge_sorted_into_window(
+                win_dists, win_ids, cand_d, nbrs
+            )
+
         # --- merge into beam: the beam is already ascending, so one
         # bitonic-merge network replaces the full concat-sort ---
         beam_dists, beam_ids, beam_visited = merge_sorted_into_beam(
@@ -455,6 +536,8 @@ def beam_search(
             beam_visited,
             hist_ids,
             hist_dists,
+            win_ids,
+            win_dists,
             n_visited,
             n_comps,
             it + 1,
@@ -467,6 +550,8 @@ def beam_search(
         beam_visited,
         hist_ids,
         hist_dists,
+        win_ids,
+        win_dists,
         n_visited,
         n_comps,
         it,
@@ -480,4 +565,6 @@ def beam_search(
         n_visited=n_visited,
         n_dist_comps=n_comps,
         iters=it,
+        window_ids=win_ids,
+        window_dists=win_dists,
     )

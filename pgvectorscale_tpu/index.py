@@ -785,6 +785,7 @@ class DiskannIndex:
         # keyed to the user's L.
         window = params.rescore + k if use_exact else 0
         expand_window_m = 0
+        window_n = 0
         beam_width = max(l, window)
         if (
             config.uses_sbq
@@ -796,6 +797,17 @@ class DiskannIndex:
             expand_window_m = min(
                 beam_width, max(4, -(-2 * (window - beam_width) // r))
             )
+        elif params.window_strategy == "scored" and window > l:
+            # Cap the beam at ~2L and absorb every scored candidate into
+            # a window-side buffer (beam_search window_n).  The window
+            # ends up holding the top-W of all scored candidates — what a
+            # rescore+k-wide beam would retain — without the wide top_k /
+            # dedup / merge every step.  The beam still widens to ~2L
+            # (same cap as "expand"): a wider-than-L beam keeps
+            # evicted-but-promising candidates expandable, which measured
+            # worth ~0.01 recall over a strictly L-wide beam.
+            beam_width = min(2 * l + 16, window)
+            window_n = window
         # One snapshot read: concurrent writers swap self.arrays atomically
         # (GIL attribute store), so the search sees a consistent index state
         # — the reader half of the single-writer concurrency contract.
@@ -815,6 +827,7 @@ class DiskannIndex:
             filtered=filtered,
             expand_factor=min(params.expand, l),
             expand_window_m=expand_window_m,
+            window_n=window_n,
         )
 
         # Keep the raw result on device; stats transfer only on access
@@ -1244,6 +1257,7 @@ class SearchIterator:
         "filtered",
         "expand_factor",
         "expand_window_m",
+        "window_n",
     ),
 )
 def _search_jit(
@@ -1262,13 +1276,17 @@ def _search_jit(
     filtered: bool,
     expand_factor: int,
     expand_window_m: int = 0,
+    window_n: int = 0,
 ):
     """Fused query path: normalize + encode + start nodes + beam search +
     tombstone/label filter + exact rescore + top-k — one device dispatch.
 
     ``expand_window_m`` > 0: the rescore window is wider than the beam;
     widen the CANDIDATE set with the 1-hop neighborhood of the top-m beam
-    nodes instead of widening the beam (see _expand_rescore_window)."""
+    nodes instead of widening the beam (see _expand_rescore_window).
+    ``window_n`` > 0: the "scored" strategy — beam_search itself keeps a
+    window_n-wide buffer of the best scored candidates (see
+    graph/search.py merge_sorted_into_window)."""
     q = raw_queries.shape[0]
     qv = (
         preprocess_cosine(raw_queries)
@@ -1298,8 +1316,18 @@ def _search_jit(
         expand_factor=expand_factor,
         edge_codes=edge_codes,
         track_hist=False,  # query path never reads the visit history
+        window_n=window_n,
     )
     cand_ids, cand_dists = res.beam_ids, res.beam_dists
+    if window_n > 0:
+        # Window entries may repeat (beam-evicted candidates re-proposed
+        # by a later frontier carry the same approximate distance) — one
+        # dedup here instead of a per-step membership test.
+        from .graph.build import _dedup_candidates
+
+        cand_ids, cand_dists = _dedup_candidates(
+            res.window_ids, res.window_dists
+        )
     if expand_window_m > 0:
         cand_ids, cand_dists = _expand_rescore_window(
             arrays,

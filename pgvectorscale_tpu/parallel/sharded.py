@@ -75,6 +75,7 @@ def _shard_leading(tree, mesh: Mesh):
         "use_exact",
         "filtered",
         "expand_window_m",
+        "window_n",
     ),
 )
 def _sharded_search_step(
@@ -95,6 +96,7 @@ def _sharded_search_step(
     use_exact: bool,
     filtered: bool,
     expand_window_m: int = 0,
+    window_n: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """All-shard search + exact rescore + cross-shard top-k merge.
 
@@ -126,8 +128,18 @@ def _sharded_search_step(
             filtered=filtered,
             expand_factor=expand_factor,
             edge_codes=ec,
+            track_hist=False,  # query path never reads the visit history
+            window_n=window_n,
         )
         cand_ids, cand_dists = res.beam_ids, res.beam_dists
+        if window_n > 0:
+            # "scored" strategy: the window buffer holds the best scored
+            # candidates; dedup once (see index._search_jit).
+            from ..graph.build import _dedup_candidates
+
+            cand_ids, cand_dists = _dedup_candidates(
+                res.window_ids, res.window_dists
+            )
         if expand_window_m > 0:
             # Beam-decoupled rescore window (index._expand_rescore_window):
             # widen the candidate set with the top-m beam nodes' 1-hop
@@ -717,6 +729,7 @@ class ShardedDiskannIndex:
         # the beam itself).
         window = params.rescore + k if use_exact else 0
         expand_window_m = 0
+        window_n = 0
         beam_width = max(l, window)
         if (
             config.uses_sbq
@@ -728,6 +741,9 @@ class ShardedDiskannIndex:
             expand_window_m = min(
                 beam_width, max(4, -(-2 * (window - beam_width) // r))
             )
+        elif params.window_strategy == "scored" and window > l:
+            beam_width = min(2 * l + 16, window)
+            window_n = window
         # Snapshot read + matching cache (single-writer/snapshot-reader
         # contract, same as DiskannIndex.search).
         stacked = self.stacked
@@ -748,6 +764,7 @@ class ShardedDiskannIndex:
             use_exact=use_exact,
             filtered=filtered,
             expand_window_m=expand_window_m,
+            window_n=window_n,
         )
         return np.asarray(ids), np.asarray(dists)
 

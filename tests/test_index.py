@@ -600,16 +600,23 @@ def test_window_strategies_equivalent_contract(rng):
         ),
     )
     recalls = {}
-    for strat in ("expand", "beam"):
+    for strat in ("expand", "beam", "scored"):
         params = QueryParams(
             search_list_size=48, rescore=400, window_strategy=strat
         )
         ids, _ = index.search(vectors[:8], k=1, params=params)
         assert [int(i) for i in ids[:, 0]] == list(range(8))
+        # No duplicate ids in any result row (the scored window may hold
+        # the same id twice; finalize must dedup).
+        wide, _ = index.search(queries[:4], k=40, params=params)
+        for row in np.asarray(wide):
+            live = row[row >= 0]
+            assert len(set(live.tolist())) == len(live), (strat, row)
         recalls[strat] = _recall_at_k(
             index, vectors, queries, 10, DistanceType.L2, params=params
         )
-    # Both serve the window: recall well above the beam-only ceiling and
+    # All serve the window: recall well above the beam-only ceiling and
     # within a small gap of each other.
     assert recalls["beam"] >= 0.9, recalls
     assert recalls["expand"] >= recalls["beam"] - 0.08, recalls
+    assert recalls["scored"] >= recalls["beam"] - 0.08, recalls

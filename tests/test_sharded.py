@@ -355,7 +355,7 @@ def test_sharded_window_strategies(rng):
 
     index = ShardedDiskannIndex.build(vectors, config, _mesh())
     recalls = {}
-    for strat in ("expand", "beam"):
+    for strat in ("expand", "beam", "scored"):
         p = QueryParams(search_list_size=40, rescore=400,
                         window_strategy=strat)
         ids, dists = index.search(queries, k=k, params=p)
@@ -363,3 +363,4 @@ def test_sharded_window_strategies(rng):
         assert np.all(np.diff(dists, axis=1) >= -1e-6)
     assert recalls["beam"] >= 0.9, recalls
     assert recalls["expand"] >= recalls["beam"] - 0.08, recalls
+    assert recalls["scored"] >= recalls["beam"] - 0.08, recalls
