@@ -87,11 +87,45 @@ def _time_left():
     return _DEADLINE_S - (time.perf_counter() - _T0)
 
 
+def _probe_tpu() -> bool:
+    """Check the tunneled TPU is actually reachable before committing the
+    process to axon backend init (which HANGS, not errors, during outages
+    — observed multi-hour axon outage 2026-08-17).  A throwaway subprocess
+    (inheriting JAX_PLATFORMS, typically pinned to "axon" here) takes the
+    risk instead of us."""
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        return False  # caller pinned CPU deliberately
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()[0].platform != 'cpu'"],
+            timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT_S", 180)),
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     n = int(os.environ.get("BENCH_N", 100_000))
     q = int(os.environ.get("BENCH_Q", 8192))
     d = int(os.environ.get("BENCH_D", 128))
     k = 10
+
+    if not _probe_tpu():
+        # TPU unreachable: fall back to CPU at reduced scale so the round
+        # still records SOME honest evidence (clearly labeled) rather
+        # than hanging in backend init until the driver's timeout.
+        pinned_cpu = "cpu" in os.environ.get("JAX_PLATFORMS", "")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        if not pinned_cpu:
+            n = min(n, int(os.environ.get("BENCH_CPU_N", 20_000)))
+            q = min(q, 2048)
+            _summary["device_note"] = "cpu-fallback: axon TPU unreachable"
+            _status("TPU unreachable — CPU fallback at reduced scale")
 
     import jax
     import jax.numpy as jnp

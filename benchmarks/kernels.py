@@ -198,10 +198,67 @@ def bench_beammerge():
     )
 
 
+def bench_rescore_tiers():
+    """Exact-rescore gather+distance at each stored-vector tier.
+
+    The rescore loop gathers [Q, m, D] vector rows from HBM and reduces
+    them against the query — HBM-bandwidth-bound, so the tier dtype sets
+    the ceiling: bf16 halves the bytes read, int8 (+ per-row scale)
+    quarters them.  Receipt for the docs/DESIGN.md memory-budget claims."""
+    import jax
+    import jax.numpy as jnp
+
+    from pgvectorscale_tpu.store import dequant_rows, quantize_rows
+
+    rng = np.random.default_rng(3)
+    n, d, q, m = 1_000_000, 768, 1024, 310  # 1M x 768, L=150/rescore=300-ish
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    ids = jnp.asarray(rng.integers(0, n, (q, m), dtype=np.int32))
+    qv = jnp.asarray(rng.standard_normal((q, d)).astype(np.float32))
+
+    def dist_from(vecs, qv):
+        diff = vecs.astype(jnp.float32) - qv[:, None, :]
+        return jnp.sum(diff * diff, axis=-1)
+
+    results = {}
+    for tier in ("f32", "bf16", "int8"):
+        if tier == "int8":
+            vecs8, scales = quantize_rows(jnp.asarray(base))
+
+            @jax.jit
+            def gathered(vectors, scales, ids, qv):
+                rows = dequant_rows(vectors, scales, jnp.maximum(ids, 0))
+                return dist_from(rows, qv)
+
+            t = _time(gathered, vecs8, scales, ids, qv)
+        else:
+            dt = jnp.bfloat16 if tier == "bf16" else jnp.float32
+            vecs = jnp.asarray(base, dtype=dt)
+
+            @jax.jit
+            def gathered(vectors, ids, qv):
+                return dist_from(vectors[jnp.maximum(ids, 0)], qv)
+
+            t = _time(gathered, vecs, ids, qv)
+        results[tier] = t
+    _emit(
+        {
+            "bench": "rescore-tiers",
+            "shape": f"n={n} d={d} q={q} m={m}",
+            "f32_ms": round(results["f32"] * 1e3, 2),
+            "bf16_ms": round(results["bf16"] * 1e3, 2),
+            "int8_ms": round(results["int8"] * 1e3, 2),
+            "bf16_speedup": round(results["f32"] / results["bf16"], 2),
+            "int8_speedup": round(results["f32"] / results["int8"], 2),
+        }
+    )
+
+
 CASES = {
     "hamming": bench_hamming,
     "edgecache": bench_edgecache,
     "beammerge": bench_beammerge,
+    "rescore": bench_rescore_tiers,
 }
 
 

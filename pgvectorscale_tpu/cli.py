@@ -281,8 +281,10 @@ def main(argv=None) -> int:
     b.add_argument("--max-rows", type=int, default=None)
     b.add_argument("--refine-passes", type=int, default=0,
                    help="extra graph-refinement sweeps (quality vs time)")
-    b.add_argument("--vector-dtype", default="f32", choices=["f32", "bf16"],
-                   help="full-precision tier dtype (bf16 halves HBM)")
+    b.add_argument("--vector-dtype", default="f32",
+                   choices=["f32", "bf16", "int8"],
+                   help="stored-vector tier dtype (bf16 halves HBM; int8 "
+                        "quarters it with a per-row scale, SBQ only)")
     b.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the build here")
     b.set_defaults(fn=cmd_build)

@@ -65,7 +65,8 @@ SBQ_BITS_THRESHOLD_DIM = 900  # meta_page.rs: 2 bits if dims < 900 else 1
 # meta_page.rs:22-23).  History:
 #   1 — round-1 format (f32 vectors only)
 #   2 — config gains vector_dtype; bf16 vectors stored as uint16 bit views
-CHECKPOINT_VERSION = 2
+#   3 — int8 vector tier: vec_scales array added (ones when not int8)
+CHECKPOINT_VERSION = 3
 CHECKPOINT_MAGIC = 0x2DD17A55  # arbitrary magic for our own format
 
 
@@ -110,6 +111,11 @@ class IndexConfig:
     #   "f32"  — exact full-precision rescore (default)
     #   "bf16" — halves HBM (the MXU-native reduced precision); rescore
     #            error ~1e-3 relative, which reorders only near-ties
+    #   "int8" — quarters HBM (per-row symmetric maxabs/127 scale, stored
+    #            in GraphArrays.vec_scales; dequantized to f32 at gather
+    #            so compute paths are unchanged); the capacity tier for
+    #            the 50M-rows-per-pod story.  Requires SBQ storage: plain
+    #            storage IS the full-precision guarantee.
     vector_dtype: str = "f32"
     # Which measure drives GRAPH CONSTRUCTION for SBQ storage (TPU-only
     # knob).  The reference builds with the storage measure (Hamming on
@@ -174,8 +180,18 @@ class IndexConfig:
                 f"plain storage supports at most {MAX_DIMENSION_NO_SBQ} "
                 "dimensions"
             )
-        if self.vector_dtype not in ("f32", "bf16"):
-            raise ValueError("vector_dtype must be 'f32' or 'bf16'")
+        if self.vector_dtype not in ("f32", "bf16", "int8"):
+            raise ValueError(
+                "vector_dtype must be 'f32', 'bf16' or 'int8'"
+            )
+        if (
+            self.vector_dtype == "int8"
+            and self.storage_layout == StorageLayout.PLAIN
+        ):
+            raise ValueError(
+                "int8 vector tier requires SBQ storage (plain storage is "
+                "the full-precision guarantee)"
+            )
         if self.build_distance not in ("exact-prune", "storage", "exact"):
             raise ValueError(
                 "build_distance must be 'exact-prune', 'storage', or 'exact'"
@@ -220,7 +236,11 @@ class IndexConfig:
     def vector_jnp_dtype(self):
         import jax.numpy as jnp
 
-        return jnp.bfloat16 if self.vector_dtype == "bf16" else jnp.float32
+        if self.vector_dtype == "bf16":
+            return jnp.bfloat16
+        if self.vector_dtype == "int8":
+            return jnp.int8
+        return jnp.float32
 
     @property
     def uses_sbq(self) -> bool:

@@ -41,7 +41,7 @@ import numpy as np
 from jax import lax
 
 from ..config import DistanceType, IndexConfig
-from ..store import INVALID_ID, GraphArrays
+from ..store import INVALID_ID, GraphArrays, dequant_rows
 from .prune import (
     pairwise_distance_matrix_full,
     pairwise_hamming_mxu,
@@ -150,7 +150,9 @@ def candidate_pair_distances(
             )
             pops = pops + jnp.sum(cb, axis=-1)
         return pops[:, :, None] + pops[:, None, :] - 2.0 * dots
-    vecs = arrays.vectors[safe][..., :trunc_dims]
+    vecs = dequant_rows(arrays.vectors, arrays.vec_scales, safe)[
+        ..., :trunc_dims
+    ]
     return pairwise_distance_matrix_full(vecs, distance_type)
 
 
@@ -434,7 +436,9 @@ def _wave_step_jit(
     # the reference's plain node stores the index slice, build.rs:548).
     if trunc_dims <= 0:
         trunc_dims = arrays.vectors.shape[-1]
-    query_vecs = arrays.vectors[safe_ids][:, :trunc_dims].astype(jnp.float32)
+    query_vecs = dequant_rows(arrays.vectors, arrays.vec_scales, safe_ids)[
+        :, :trunc_dims
+    ].astype(jnp.float32)
     query_codes = arrays.codes[safe_ids]
 
     if brute:
@@ -542,9 +546,9 @@ def _wave_step_jit(
                 query_codes, arrays.codes, existing
             ).astype(jnp.float32)
         else:
-            gathered = arrays.vectors[jnp.maximum(existing, 0)][
-                ..., :trunc_dims
-            ].astype(jnp.float32)
+            gathered = dequant_rows(
+                arrays.vectors, arrays.vec_scales, jnp.maximum(existing, 0)
+            )[..., :trunc_dims].astype(jnp.float32)
             if distance_type == DistanceType.L2:
                 diff = gathered - query_vecs[:, None, :]
                 ex_d = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
@@ -569,7 +573,9 @@ def _wave_step_jit(
         # alpha-occlusion geometry the prune sees are exact.  One gather +
         # one MXU batch per wave.
         safe_c = jnp.maximum(cand_ids, 0)
-        cvecs = arrays.vectors[safe_c][..., :trunc_dims].astype(jnp.float32)
+        cvecs = dequant_rows(arrays.vectors, arrays.vec_scales, safe_c)[
+            ..., :trunc_dims
+        ].astype(jnp.float32)
         if distance_type == DistanceType.L2:
             diff = cvecs - query_vecs[:, None, :]
             ex = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
@@ -752,8 +758,12 @@ def _brute_candidates(
     else:
         if trunc_dims <= 0:
             trunc_dims = arrays.vectors.shape[-1]
-        qv = arrays.vectors[safe_ids][:, :trunc_dims].astype(jnp.float32)
-        pts = arrays.vectors[:slice_rows, :trunc_dims].astype(jnp.float32)
+        qv = dequant_rows(arrays.vectors, arrays.vec_scales, safe_ids)[
+            :, :trunc_dims
+        ].astype(jnp.float32)
+        pts = dequant_rows(
+            arrays.vectors, arrays.vec_scales, slice(None, slice_rows)
+        )[:, :trunc_dims].astype(jnp.float32)
         if distance_type == DistanceType.L2:
             q_sq = jnp.sum(qv * qv, axis=-1, keepdims=True)
             c_sq = jnp.sum(pts * pts, axis=-1)[None, :]
@@ -860,10 +870,12 @@ def _prune_rows_core(
     else:
         if trunc_dims <= 0:
             trunc_dims = arrays.vectors.shape[-1]
-        qv = arrays.vectors[safe_rows][:, :trunc_dims].astype(jnp.float32)
-        gathered = arrays.vectors[jnp.maximum(cand_ids, 0)][
-            ..., :trunc_dims
+        qv = dequant_rows(arrays.vectors, arrays.vec_scales, safe_rows)[
+            :, :trunc_dims
         ].astype(jnp.float32)
+        gathered = dequant_rows(
+            arrays.vectors, arrays.vec_scales, jnp.maximum(cand_ids, 0)
+        )[..., :trunc_dims].astype(jnp.float32)
         if distance_type == DistanceType.L2:
             diff = gathered - qv[:, None, :]
             cand_d = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)

@@ -43,7 +43,12 @@ from jax import lax
 from ..config import DistanceType
 from ..labels import overlaps
 from ..ops.hamming import hamming_gather
-from ..store import INVALID_ID, GraphArrays, lookup_label_starts
+from ..store import (
+    INVALID_ID,
+    GraphArrays,
+    dequant_rows,
+    lookup_label_starts,
+)
 
 INF = jnp.inf
 _I32_MAX = jnp.int32(2**31 - 1)
@@ -212,9 +217,9 @@ def _candidate_distances(
     # reference stores the index slice in the node (build.rs:548,
     # plain/storage.rs:240) and rescores full-width later.  The query is
     # already truncated, so slice the gather to the query's width.
-    gathered = arrays.vectors[safe][..., : query_vecs.shape[-1]].astype(
-        jnp.float32
-    )  # [Q, R, Dt]
+    gathered = dequant_rows(arrays.vectors, arrays.vec_scales, safe)[
+        ..., : query_vecs.shape[-1]
+    ].astype(jnp.float32)  # [Q, R, Dt]
     if distance_type == DistanceType.L2:
         diff = gathered - query_vecs[:, None, :]
         return jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)

@@ -214,11 +214,12 @@ def _finalize_results(
     m = min(rescore_n + k, ids.shape[1])
     top_ids = ids[:, :m]
     top_d = d[:, :m]
-    # Gather stays in the storage dtype (bf16 tier halves the HBM read);
-    # the convert fuses into the distance computation.
-    vecs = arrays.vectors[jnp.maximum(top_ids, 0)].astype(
-        jnp.float32
-    )  # [Q, m, D]
+    # Gather stays in the storage dtype (bf16 tier halves the HBM read,
+    # int8 quarters it and dequantizes here); the convert fuses into the
+    # distance computation.
+    vecs = store.dequant_rows(
+        arrays.vectors, arrays.vec_scales, jnp.maximum(top_ids, 0)
+    ).astype(jnp.float32)  # [Q, m, D]
     if distance_type == DistanceType.L2:
         diff = vecs - query_vecs[:, None, :]
         exact = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
@@ -248,7 +249,9 @@ def _exact_distances(
     *,
     distance_type: DistanceType,
 ) -> jax.Array:
-    vecs = arrays.vectors[jnp.maximum(ids, 0)].astype(jnp.float32)
+    vecs = store.dequant_rows(
+        arrays.vectors, arrays.vec_scales, jnp.maximum(ids, 0)
+    ).astype(jnp.float32)
     if distance_type == DistanceType.L2:
         diff = vecs - query_vec[None, :]
         return jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
@@ -986,8 +989,11 @@ class DiskannIndex:
         # feed the rebuild's ingest directly — pulling [n, D] through the
         # ~0.75 MB/s tunneled device->host link dominated compact() time.
         # (Cosine pre-normalization is idempotent, so re-ingesting stored
-        # pre-normalized vectors is exact.)
-        vectors = self.arrays.vectors[jnp.asarray(live)].astype(jnp.float32)
+        # pre-normalized vectors is exact; the int8 tier dequantizes here
+        # and re-quantizes on ingest — one extra rounding at worst.)
+        vectors = store.dequant_rows(
+            self.arrays.vectors, self.arrays.vec_scales, jnp.asarray(live)
+        ).astype(jnp.float32)
         ext = self.external_ids[live]
         labels_list = None
         if self.config.has_labels:
@@ -1027,6 +1033,7 @@ class DiskannIndex:
                 json.dumps(self.config.to_dict()).encode(), dtype=np.uint8
             ),
             vectors=vectors,
+            vec_scales=host.vec_scales[:n],
             codes=host.codes[:n],
             adjacency=host.adjacency[:n],
             node_labels=host.node_labels[:n],
@@ -1072,6 +1079,7 @@ class DiskannIndex:
             if n > 0:
                 arrays = arrays._replace(
                     vectors=arrays.vectors.at[:n].set(vectors),
+                    vec_scales=arrays.vec_scales.at[:n].set(z["vec_scales"]),
                     codes=arrays.codes.at[:n].set(z["codes"]),
                     adjacency=arrays.adjacency.at[:n].set(z["adjacency"]),
                     node_labels=arrays.node_labels.at[:n].set(z["node_labels"]),
@@ -1374,12 +1382,20 @@ def _ingest_jit(
     )
     indexed = dev[:, : config.dims_to_index]
     stats = sbq.train(indexed) if train else stats_in
-    arrays = arrays._replace(
-        vectors=arrays.vectors.at[:n].set(
-            dev.astype(arrays.vectors.dtype)
-        ),
-        count=jnp.asarray(n, dtype=jnp.int32),
-    )
+    if config.vector_dtype == "int8":
+        q8, scales = store.quantize_rows(dev)
+        arrays = arrays._replace(
+            vectors=arrays.vectors.at[:n].set(q8),
+            vec_scales=arrays.vec_scales.at[:n].set(scales),
+            count=jnp.asarray(n, dtype=jnp.int32),
+        )
+    else:
+        arrays = arrays._replace(
+            vectors=arrays.vectors.at[:n].set(
+                dev.astype(arrays.vectors.dtype)
+            ),
+            count=jnp.asarray(n, dtype=jnp.int32),
+        )
     if config.uses_sbq:
         codes = sbq.encode(indexed, stats, config.bits_per_dimension)
         arrays = arrays._replace(codes=arrays.codes.at[:n].set(codes))
@@ -1404,11 +1420,22 @@ def _reuse_ingest_jit(
         else raw_vectors.astype(jnp.float32)
     )
     indexed = dev[:, : config.dims_to_index]
-    arrays = arrays._replace(
-        vectors=arrays.vectors.at[rows].set(dev.astype(arrays.vectors.dtype)),
-        deleted=arrays.deleted.at[rows].set(False),
-        adjacency=arrays.adjacency.at[rows].set(INVALID_ID),
-    )
+    if config.vector_dtype == "int8":
+        q8, scales = store.quantize_rows(dev)
+        arrays = arrays._replace(
+            vectors=arrays.vectors.at[rows].set(q8),
+            vec_scales=arrays.vec_scales.at[rows].set(scales),
+            deleted=arrays.deleted.at[rows].set(False),
+            adjacency=arrays.adjacency.at[rows].set(INVALID_ID),
+        )
+    else:
+        arrays = arrays._replace(
+            vectors=arrays.vectors.at[rows].set(
+                dev.astype(arrays.vectors.dtype)
+            ),
+            deleted=arrays.deleted.at[rows].set(False),
+            adjacency=arrays.adjacency.at[rows].set(INVALID_ID),
+        )
     if config.uses_sbq:
         codes = sbq.encode(indexed, sbq_stats, config.bits_per_dimension)
         arrays = arrays._replace(codes=arrays.codes.at[rows].set(codes))
@@ -1433,12 +1460,22 @@ def _add_ingest_jit(
         else raw_vectors.astype(jnp.float32)
     )
     indexed = dev[:, : config.dims_to_index]
-    arrays = arrays._replace(
-        vectors=lax.dynamic_update_slice(
-            arrays.vectors, dev.astype(arrays.vectors.dtype), (n0, 0)
-        ),
-        count=(n0 + m).astype(jnp.int32),
-    )
+    if config.vector_dtype == "int8":
+        q8, scales = store.quantize_rows(dev)
+        arrays = arrays._replace(
+            vectors=lax.dynamic_update_slice(arrays.vectors, q8, (n0, 0)),
+            vec_scales=lax.dynamic_update_slice(
+                arrays.vec_scales, scales, (n0,)
+            ),
+            count=(n0 + m).astype(jnp.int32),
+        )
+    else:
+        arrays = arrays._replace(
+            vectors=lax.dynamic_update_slice(
+                arrays.vectors, dev.astype(arrays.vectors.dtype), (n0, 0)
+            ),
+            count=(n0 + m).astype(jnp.int32),
+        )
     if config.uses_sbq:
         codes = sbq.encode(indexed, sbq_stats, config.bits_per_dimension)
         arrays = arrays._replace(
@@ -1459,8 +1496,16 @@ def _migrate_v1_to_v2(z: dict) -> dict:
     return z
 
 
+def _migrate_v2_to_v3(z: dict) -> dict:
+    # v3 added the int8 vector tier: a per-row vec_scales array.  Pre-v3
+    # checkpoints are f32/bf16, where the scale is identity.
+    z["vec_scales"] = np.ones(len(z["vectors"]), dtype=np.float32)
+    return z
+
+
 _CHECKPOINT_MIGRATIONS: dict = {
     1: _migrate_v1_to_v2,
+    2: _migrate_v2_to_v3,
 }
 
 

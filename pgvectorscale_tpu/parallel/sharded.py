@@ -49,7 +49,14 @@ from ..graph.search import beam_search, get_start_ids
 from ..index import _query_max_iters
 from ..labels import make_label_array, overlaps
 from ..ops import sbq
-from ..store import INVALID_ID, GraphArrays, from_host, to_host
+from ..store import (
+    INVALID_ID,
+    GraphArrays,
+    dequant_rows,
+    from_host,
+    quantize_rows,
+    to_host,
+)
 
 
 def _shard_leading(tree, mesh: Mesh):
@@ -97,12 +104,15 @@ def _sharded_search_step(
     filtered: bool,
     expand_window_m: int = 0,
     window_n: int = 0,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """All-shard search + exact rescore + cross-shard top-k merge.
 
     Returns (shard_local_ids i32[Q, k] encoded as shard * cap + local,
-    dists f32[Q, k]).  The vmapped body partitions over the sharded
-    leading axis; the final merge is the only cross-device step.
+    dists f32[Q, k], visits i32[Q], dist_comps i32[Q], iters i32) — the
+    stat scalars are summed over shards (total device work per query,
+    GreedySearchStats analog) and stay on device until read.  The vmapped
+    body partitions over the sharded leading axis; the final merge is the
+    only cross-device step.
 
     ``edge_codes`` is the per-shard neighbor-code cache (the same
     contiguous-row gather that cut ~60% off single-chip search time;
@@ -167,9 +177,9 @@ def _sharded_search_step(
         top_ids = ids[:, :m]
         top_d = d[:, :m]
         if use_exact:
-            vecs = arrays.vectors[jnp.maximum(top_ids, 0)].astype(
-                jnp.float32
-            )
+            vecs = dequant_rows(
+                arrays.vectors, arrays.vec_scales, jnp.maximum(top_ids, 0)
+            ).astype(jnp.float32)
             if distance_type == DistanceType.L2:
                 diff = vecs - query_full[:, None, :]
                 exact = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
@@ -190,12 +200,22 @@ def _sharded_search_step(
             top_d, top_ids = lax.sort(
                 (exact, top_ids), dimension=1, num_keys=1
             )
-        return top_ids[:, :k], top_d[:, :k]
+        return (
+            top_ids[:, :k],
+            top_d[:, :k],
+            res.n_visited,
+            res.n_dist_comps,
+            res.iters,
+        )
 
     if edge_codes is None:
-        ids_pqk, d_pqk = jax.vmap(lambda a: per_shard(a, None))(stacked)
+        ids_pqk, d_pqk, vis_pq, cmp_pq, it_p = jax.vmap(
+            lambda a: per_shard(a, None)
+        )(stacked)
     else:
-        ids_pqk, d_pqk = jax.vmap(per_shard)(stacked, edge_codes)  # [P, Q, k]
+        ids_pqk, d_pqk, vis_pq, cmp_pq, it_p = jax.vmap(per_shard)(
+            stacked, edge_codes
+        )  # [P, Q, k]
     p = ids_pqk.shape[0]
     # Encode global slot = shard * cap + local id; merge across shards.
     shard_off = (
@@ -205,7 +225,13 @@ def _sharded_search_step(
     all_ids = jnp.transpose(gids, (1, 0, 2)).reshape(q, p * k)
     all_d = jnp.transpose(d_pqk, (1, 0, 2)).reshape(q, p * k)
     sd, sids = lax.sort((all_d, all_ids), dimension=1, num_keys=1)
-    return sids[:, :k], sd[:, :k]
+    return (
+        sids[:, :k],
+        sd[:, :k],
+        jnp.sum(vis_pq, axis=0),
+        jnp.sum(cmp_pq, axis=0),
+        jnp.max(it_p),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("distance_type",))
@@ -220,7 +246,9 @@ def _exact_distances_sharded(
     safe = jnp.maximum(gids, 0)
     shard = (safe // cap).astype(jnp.int32)
     local = (safe % cap).astype(jnp.int32)
-    vecs = stacked.vectors[shard, local].astype(jnp.float32)
+    vecs = dequant_rows(
+        stacked.vectors, stacked.vec_scales, (shard, local)
+    ).astype(jnp.float32)
     if distance_type == DistanceType.L2:
         diff = vecs - query_vec[None, :]
         return jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
@@ -356,10 +384,20 @@ def _sharded_add_ingest(
             else vecs.astype(jnp.float32)
         )
         n0 = arrays.count
-        arrays = arrays._replace(
-            vectors=lax.dynamic_update_slice(
+        if config.vector_dtype == "int8":
+            q8, scales = quantize_rows(dev)
+            stored = lax.dynamic_update_slice(arrays.vectors, q8, (n0, 0))
+            arrays = arrays._replace(
+                vec_scales=lax.dynamic_update_slice(
+                    arrays.vec_scales, scales, (n0,)
+                )
+            )
+        else:
+            stored = lax.dynamic_update_slice(
                 arrays.vectors, dev.astype(arrays.vectors.dtype), (n0, 0)
-            ),
+            )
+        arrays = arrays._replace(
+            vectors=stored,
             count=(n0 + r).astype(jnp.int32),
             # Empty shard: first inserted row becomes the start node.
             default_start=jnp.where(
@@ -450,6 +488,75 @@ class ShardedDiskannIndex:
         # Per-shard neighbor-code cache, keyed by tensor identity exactly
         # like DiskannIndex._edge_codes (rebuilt lazily after mutation).
         self._edge_codes = None
+        self.build_stats = None  # stats.WriteStats after build()
+        # Device-resident stat scalars of the last search batch
+        # ((visits[Q], comps[Q], iters), summed over shards) — transferred
+        # only when last_search_stats is read, same contract as the
+        # single-chip index.
+        self._last_search_res = None
+        self._last_search_l = 0
+
+    @property
+    def last_search_stats(self):
+        """Stats of the most recent search, summed over shards
+        (GreedySearchStats analog; lazy device->host transfer)."""
+        if self._last_search_res is None:
+            return None
+        from ..stats import GreedySearchStats
+
+        visits, comps, iters = self._last_search_res
+        visits = np.asarray(visits)
+        return GreedySearchStats(
+            num_queries=int(visits.shape[0]),
+            total_visits=int(visits.sum()),
+            total_distance_comparisons=int(np.asarray(comps).sum()),
+            iterations=int(iters),
+        )
+
+    def estimate_query_cost(
+        self, params: Optional[QueryParams] = None
+    ) -> dict:
+        """Per-query cost estimate (amcostestimate analog, mirrors
+        DiskannIndex.estimate_query_cost): measured statistics when a
+        search has run, scaled to the requested L; a-priori model on a
+        cold index.  Visits/comparisons are TOTALS over all shards —
+        the work the mesh performs, not the per-chip latency."""
+        params = params or QueryParams()
+        l = params.search_list_size
+        r = self.config.num_neighbors
+        shards = self.num_shards
+        stats = self.last_search_stats
+        if stats is not None and stats.num_queries > 0 and stats.total_visits:
+            measured_l = max(self._last_search_l, 1)
+            scale = l / measured_l
+            expected_visits = int(
+                stats.total_visits / stats.num_queries * scale
+            )
+            expected_comps = int(
+                stats.total_distance_comparisons / stats.num_queries * scale
+            )
+            basis = "measured"
+        else:
+            # Every shard runs the full-L beam over ITS rows; the visit
+            # cap is per-shard live rows, not the global count.
+            rows_per_shard = max(-(-max(self.num_live, 1) // shards), 1)
+            per_shard = min(int(1.2 * l), rows_per_shard)
+            expected_visits = per_shard * shards
+            expected_comps = expected_visits * r
+            basis = "model"
+        return {
+            "expected_node_visits": expected_visits,
+            "expected_distance_comparisons": expected_comps,
+            # Each shard rescores its own rescore+k window exactly
+            # (sharded.py per_shard), so the mesh-total full-precision
+            # work is shard-summed like the other fields.
+            "expected_full_precision_comparisons": (
+                params.rescore + (0 if params.rescore == 0 else 10)
+            )
+            * shards,
+            "estimated_rows": max(self.num_live // 100, 1),
+            "basis": basis,
+        }
 
     @property
     def num_shards(self) -> int:
@@ -641,7 +748,13 @@ class ShardedDiskannIndex:
 
         # --- lockstep wave loop (same schedule as the single-shard build:
         # first row seeds the graph, then geometric waves) ---
+        import time as _time
+
         from ..graph.build import _build_max_iters
+        from ..stats import WriteStats
+
+        write_stats = WriteStats(num_nodes=n)
+        insert_t0 = _time.perf_counter()
 
         statics = dict(
             search_list_size=config.search_list_size,
@@ -677,10 +790,15 @@ class ShardedDiskannIndex:
             )
             done += take
             bucket = min(bucket * 2, max_wave)
+            write_stats.num_waves += 1
+        write_stats.insert_s = _time.perf_counter() - insert_t0
 
         # --- finalize (vmapped over-degree prune) + orphan repair ---
+        fin_t0 = _time.perf_counter()
         index.stacked = _sharded_finalize(index.stacked, config)
         index.stacked = jax.vmap(repair_orphans_device)(index.stacked)
+        write_stats.finalize_s = _time.perf_counter() - fin_t0
+        index.build_stats = write_stats
         return index
 
     # ------------------------------------------------------------------
@@ -747,7 +865,7 @@ class ShardedDiskannIndex:
         # Snapshot read + matching cache (single-writer/snapshot-reader
         # contract, same as DiskannIndex.search).
         stacked = self.stacked
-        ids, dists = _sharded_search_step(
+        ids, dists, vis, comps, iters = _sharded_search_step(
             stacked,
             self._edge_code_cache(stacked),
             q_indexed,
@@ -766,6 +884,14 @@ class ShardedDiskannIndex:
             expand_window_m=expand_window_m,
             window_n=window_n,
         )
+        # Stats stay on device; transferred only if last_search_stats is
+        # read (the tunneled device->host link costs ~0.4 s per pull).
+        self._last_search_res = (vis, comps, iters)
+        # Record the USER's L (same contract as DiskannIndex.search): the
+        # cost estimate scales measured work by requested-L / measured-L,
+        # so recording the strategy-widened beam here would deflate every
+        # later estimate by the widening factor.
+        self._last_search_l = l
         return np.asarray(ids), np.asarray(dists)
 
     def search_iter(
@@ -828,9 +954,11 @@ class ShardedDiskannIndex:
                 )
         flat_idx = np.concatenate(flat_live)
         d = self.stacked.vectors.shape[-1]
-        dev_vecs = self.stacked.vectors.reshape(-1, d)[
-            jnp.asarray(flat_idx)
-        ].astype(jnp.float32)
+        dev_vecs = dequant_rows(
+            self.stacked.vectors.reshape(-1, d),
+            self.stacked.vec_scales.reshape(-1),
+            jnp.asarray(flat_idx),
+        ).astype(jnp.float32)
         all_ext = np.concatenate(exts)
         return ShardedDiskannIndex.build(
             dev_vecs,
@@ -1026,11 +1154,33 @@ class ShardedDiskannIndex:
 
         s = self.stacked
         self.stacked = s._replace(
-            vectors=pad_rows(s.vectors, 0.0),
+            vectors=pad_rows(s.vectors, 0),
             codes=pad_rows(s.codes, 0),
             adjacency=pad_rows(s.adjacency, INVALID_ID),
             node_labels=pad_rows(s.node_labels, int(LABEL_SENTINEL)),
             deleted=pad_rows(s.deleted, False),
+            vec_scales=pad_rows(s.vec_scales, 1.0),
+        )
+
+    def delete(self, ids: np.ndarray) -> None:
+        """Tombstone rows by GLOBAL slot id (shard * cap + local), the id
+        space ``search`` returns — DiskannIndex.delete parity for callers
+        that keep slot ids instead of external ids."""
+        ids = np.asarray(ids, dtype=np.int64).ravel()
+        if len(ids) == 0:
+            return
+        cap = self.shard_capacity
+        shard = ids // cap
+        local = ids % cap
+        if (ids < 0).any() or (shard >= self.num_shards).any():
+            raise ValueError("delete ids out of range")
+        counts = np.asarray(self.stacked.count)  # [P] scalars, one pull
+        if (local >= counts[shard]).any():
+            raise ValueError("delete ids out of range")
+        self.stacked = self.stacked._replace(
+            deleted=self.stacked.deleted.at[
+                jnp.asarray(shard, jnp.int32), jnp.asarray(local, jnp.int32)
+            ].set(True)
         )
 
     def delete_external(self, ext_ids: np.ndarray) -> None:
@@ -1101,8 +1251,16 @@ class ShardedDiskannIndex:
                 json.loads(bytes(z["config"]).decode())
             )
             leaves = {
-                name: z[f"stacked_{name}"] for name in HostArrays._fields
+                name: z[f"stacked_{name}"]
+                for name in HostArrays._fields
+                if f"stacked_{name}" in z
             }
+            if "vec_scales" not in leaves:
+                # Pre-v3 sharded checkpoint: f32/bf16 vectors, identity
+                # scales (the single-file _migrate_v2_to_v3 analog).
+                leaves["vec_scales"] = np.ones(
+                    leaves["vectors"].shape[:2], dtype=np.float32
+                )
             if config.vector_dtype == "bf16":
                 import ml_dtypes
 

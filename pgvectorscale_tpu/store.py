@@ -9,7 +9,13 @@ component is a flat, preallocated, structure-of-arrays HBM tensor:
 
 - ``vectors``    f32[cap, D]   — full-precision vectors (the analog of the
                                  heap tuples the reference rescores against,
-                                 table_slot.rs:13-53)
+                                 table_slot.rs:13-53); the tier knob
+                                 ``IndexConfig.vector_dtype`` stores them as
+                                 bf16 (half HBM) or int8 (quarter HBM, per-row
+                                 symmetric scale in ``vec_scales``)
+- ``vec_scales`` f32[cap]      — per-row dequantization scale for the int8
+                                 tier (all-ones otherwise; 4 bytes/row is
+                                 noise next to the D-wide row)
 - ``codes``      u32[cap, W]   — packed SBQ codes (sbq/node.rs bq_vector)
 - ``adjacency``  i32[cap, R]   — neighbor ids, ``-1`` terminated/padded (the
                                  analog of the fixed-size neighbor array with
@@ -55,6 +61,7 @@ class GraphArrays(NamedTuple):
     default_start: jax.Array  # i32 scalar, INVALID_ID when graph empty
     label_start_keys: jax.Array  # i32[label_cap], LABEL_SENTINEL-padded
     label_start_ids: jax.Array  # i32[label_cap]
+    vec_scales: jax.Array  # f32[cap] — int8-tier per-row scales (else ones)
 
     @property
     def capacity(self) -> int:
@@ -91,7 +98,38 @@ def empty_arrays(
         label_start_ids=jnp.full(
             (label_table_capacity,), INVALID_ID, dtype=jnp.int32
         ),
+        vec_scales=jnp.ones((capacity,), dtype=jnp.float32),
     )
+
+
+def quantize_rows(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantization for the storage tier.
+
+    scale = maxabs/127 (1.0 for all-zero rows so dequantization is exact),
+    value = round(x/scale) clipped to [-127, 127].  Worst-case per-component
+    error is scale/2 = maxabs/254 — at 768d cosine (pre-normalized rows)
+    that reorders only near-ties in the exact rescore, same failure mode as
+    the bf16 tier but at a quarter of the HBM footprint."""
+    rows = rows.astype(jnp.float32)
+    maxabs = jnp.max(jnp.abs(rows), axis=-1)
+    scale = jnp.where(maxabs > 0, maxabs / 127.0, jnp.float32(1.0))
+    q = jnp.clip(jnp.round(rows / scale[..., None]), -127, 127).astype(
+        jnp.int8
+    )
+    return q, scale.astype(jnp.float32)
+
+
+def dequant_rows(vectors: jax.Array, scales: jax.Array, idx) -> jax.Array:
+    """Row gather in compute form: the storage dtype for f32/bf16 (callers
+    keep their own ``.astype``) and dequantized f32 for the int8 tier.
+
+    ``idx`` is any leading-axis index (int array, tuple, slice) valid for
+    both ``vectors[idx]`` and ``scales[idx]`` — the scale tensor mirrors
+    the vectors' leading axes."""
+    rows = vectors[idx]
+    if vectors.dtype == jnp.int8:
+        return rows.astype(jnp.float32) * scales[idx][..., None]
+    return rows
 
 
 def grow(arrays: GraphArrays, new_capacity: int) -> GraphArrays:
@@ -106,11 +144,12 @@ def grow(arrays: GraphArrays, new_capacity: int) -> GraphArrays:
         return jnp.pad(x, widths, constant_values=fill)
 
     return arrays._replace(
-        vectors=pad_rows(arrays.vectors, 0.0),
+        vectors=pad_rows(arrays.vectors, 0),
         codes=pad_rows(arrays.codes, 0),
         adjacency=pad_rows(arrays.adjacency, INVALID_ID),
         node_labels=pad_rows(arrays.node_labels, int(LABEL_SENTINEL)),
         deleted=pad_rows(arrays.deleted, False),
+        vec_scales=pad_rows(arrays.vec_scales, 1.0),
     )
 
 
@@ -141,6 +180,7 @@ class HostArrays(NamedTuple):
     default_start: np.ndarray
     label_start_keys: np.ndarray
     label_start_ids: np.ndarray
+    vec_scales: np.ndarray
 
 
 def to_host(arrays: GraphArrays) -> HostArrays:

@@ -1,20 +1,26 @@
-"""Regenerate the historical-checkpoint fixtures.
+"""Generate any MISSING historical-checkpoint fixtures.
 
 The analog of the reference's upgrade tests, which build every released
 version and verify `ALTER EXTENSION UPDATE` against it
 (reference: pgvectorscale/tests/upgrade_test.rs:25-337).  Here every
 checkpoint-format bump must leave a fixture behind:
 
-- ``checkpoint_v2.npz``     — written by the round-2/3 (version 2) format.
-- ``checkpoint_v1.npz``     — synthesized round-1 (version 1) format:
-  no ``vector_dtype``/``build_distance`` config keys, f32 vectors only.
-- ``expected.json``         — query results both fixtures must reproduce.
+- ``checkpoint_v1.npz``     — round-1 (version 1) format: no
+  ``vector_dtype``/``build_distance`` config keys, f32 vectors only.
+- ``checkpoint_v2.npz``     — round-2 (version 2) format.
+- ``checkpoint_v3.npz``     — version 3 format (int8 tier: per-row
+  ``vec_scales``, identity for an f32 index).  All fixtures hold the
+  SAME index.
+- ``expected.json``         — query results all fixtures must reproduce.
 
 Run from the repo root on CPU:
     JAX_PLATFORMS=cpu python tests/fixtures/make_fixtures.py
 
-Regenerate ONLY when adding a NEW version fixture; existing fixtures are
-frozen artifacts — the whole point is that old files keep loading.
+Existing fixtures are FROZEN artifacts and are never overwritten — the
+whole point is that old files keep loading.  At a format bump, add the
+new version's synthesis rule below and re-run; only the new fixture is
+written (from the frozen newest fixture, so the index content stays
+identical across all versions).
 """
 
 import json
@@ -37,29 +43,28 @@ def fixture_data():
     return vectors, queries
 
 
-def main():
-    from pgvectorscale_tpu import (
-        DiskannIndex,
-        DistanceType,
-        IndexConfig,
-        QueryParams,
-    )
+def _path(version: int) -> str:
+    return os.path.join(_HERE, f"checkpoint_v{version}.npz")
 
-    vectors, queries = fixture_data()
-    config = IndexConfig(
-        num_dimensions=16,
-        distance_type=DistanceType.L2,
-        num_neighbors=10,
-        search_list_size=16,
-    )
-    index = DiskannIndex.build(vectors, config)
-    v2_path = os.path.join(_HERE, "checkpoint_v2.npz")
-    index.save(v2_path)
 
-    # Synthesize the v1 (round-1) format from the v2 file: version 1,
-    # config without the keys later versions added.
-    with np.load(v2_path) as z:
-        payload = {k: z[k] for k in z.files}
+def _load(version: int) -> dict:
+    with np.load(_path(version)) as z:
+        return {k: z[k] for k in z.files}
+
+
+def _write_if_missing(version: int, payload: dict) -> bool:
+    path = _path(version)
+    if os.path.exists(path):
+        print(f"checkpoint_v{version}.npz exists — frozen, not rewritten")
+        return False
+    np.savez_compressed(path, **payload)
+    print(f"wrote checkpoint_v{version}.npz")
+    return True
+
+
+def synth_v1_from_v2() -> dict:
+    """Version 1 = version 2 minus the config keys round 2 added."""
+    payload = _load(2)
     cfg = json.loads(bytes(payload["config"]).decode())
     cfg.pop("vector_dtype", None)
     cfg.pop("build_distance", None)
@@ -67,24 +72,80 @@ def main():
         json.dumps(cfg).encode(), dtype=np.uint8
     )
     payload["version"] = np.int64(1)
-    np.savez_compressed(os.path.join(_HERE, "checkpoint_v1.npz"), **payload)
+    return payload
 
-    ids, dists = index.search(
-        queries, k=5, params=QueryParams(search_list_size=32, rescore=16)
+
+def synth_v3_from_v2() -> dict:
+    """v3 added the int8-tier ``vec_scales`` array — identity for an f32
+    index, the exact content a v2 index re-saved under v3 code holds."""
+    payload = _load(2)
+    payload["vec_scales"] = np.ones(
+        len(payload["vectors"]), dtype=np.float32
     )
-    with open(os.path.join(_HERE, "expected.json"), "w") as f:
-        json.dump(
-            {
-                "k": 5,
-                "search_list_size": 32,
-                "rescore": 16,
-                "ids": ids.tolist(),
-                "dists": [[round(float(x), 5) for x in row] for row in dists],
-            },
-            f,
-            indent=1,
+    payload["version"] = np.int64(3)
+    return payload
+
+
+def main():
+    from pgvectorscale_tpu import (
+        DiskannIndex,
+        DistanceType,
+        IndexConfig,
+        QueryParams,
+    )
+    from pgvectorscale_tpu.config import CHECKPOINT_VERSION
+
+    vectors, queries = fixture_data()
+
+    # Bootstrap only: the v2 fixture is the frozen root all others are
+    # synthesized from.  If it is missing entirely (fresh clone of the
+    # fixtures dir), rebuild the index and save it under the CURRENT
+    # format, then derive v2 — but never overwrite an existing file.
+    if not os.path.exists(_path(2)):
+        if CHECKPOINT_VERSION != 3:
+            raise SystemExit(
+                "checkpoint_v2.npz is missing and the current format is "
+                f"v{CHECKPOINT_VERSION}; add a synthesis rule instead of "
+                "rebuilding"
+            )
+        config = IndexConfig(
+            num_dimensions=16,
+            distance_type=DistanceType.L2,
+            num_neighbors=10,
+            search_list_size=16,
         )
-    print("fixtures written to", _HERE)
+        index = DiskannIndex.build(vectors, config)
+        index.save(_path(CHECKPOINT_VERSION))  # native current format
+        payload = _load(CHECKPOINT_VERSION)
+        payload.pop("vec_scales", None)
+        payload["version"] = np.int64(2)
+        _write_if_missing(2, payload)
+
+    _write_if_missing(1, synth_v1_from_v2())
+    _write_if_missing(3, synth_v3_from_v2())
+
+    expected_path = os.path.join(_HERE, "expected.json")
+    if not os.path.exists(expected_path):
+        index = DiskannIndex.load(_path(CHECKPOINT_VERSION))
+        ids, dists = index.search(
+            queries, k=5, params=QueryParams(search_list_size=32, rescore=16)
+        )
+        with open(expected_path, "w") as f:
+            json.dump(
+                {
+                    "k": 5,
+                    "search_list_size": 32,
+                    "rescore": 16,
+                    "ids": ids.tolist(),
+                    "dists": [
+                        [round(float(x), 5) for x in row] for row in dists
+                    ],
+                },
+                f,
+                indent=1,
+            )
+        print("wrote expected.json")
+    print("fixtures up to date in", _HERE)
 
 
 if __name__ == "__main__":

@@ -364,3 +364,65 @@ def test_sharded_window_strategies(rng):
     assert recalls["beam"] >= 0.9, recalls
     assert recalls["expand"] >= recalls["beam"] - 0.08, recalls
     assert recalls["scored"] >= recalls["beam"] - 0.08, recalls
+
+
+def test_sharded_stats_cost_and_slot_delete(rng):
+    """Observability + DML parity with the single-chip index: search stats
+    (summed over shards), measured-basis cost estimates, and delete by the
+    global slot ids that search returns."""
+    n, d, k = 600, 32, 5
+    vectors, queries = _lowrank(rng, n, 12, d)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=12,
+        search_list_size=24,
+    )
+    index = ShardedDiskannIndex.build(vectors, config, _mesh())
+
+    # Build stats were recorded (WriteStats analog, stats.rs:242-265).
+    bs = index.build_stats
+    assert bs is not None and bs.num_nodes == n and bs.num_waves >= 1
+    assert bs.insert_s > 0
+
+    # Cold index: model-basis estimate.  Per-shard visits are capped by
+    # per-shard rows, so the mesh total can never exceed the row count,
+    # and comparisons are keyed to R (not the padded adjacency width).
+    est = index.estimate_query_cost()
+    assert est["basis"] == "model"
+    assert est["expected_node_visits"] <= n
+    assert est["expected_distance_comparisons"] == (
+        est["expected_node_visits"] * config.num_neighbors
+    )
+
+    params = QueryParams(search_list_size=24, rescore=32)
+    ids, _ = index.search(queries, k=k, params=params)
+    stats = index.last_search_stats
+    assert stats is not None
+    assert stats.num_queries == len(queries)
+    assert stats.total_visits > 0
+    assert stats.total_distance_comparisons >= stats.total_visits
+
+    est = index.estimate_query_cost(params)
+    assert est["basis"] == "measured"
+    assert est["expected_node_visits"] > 0
+    # Measured basis is calibrated against the USER's L (not the
+    # strategy-widened beam): estimating at the exact measured params
+    # returns the measured per-query means unscaled.
+    assert (
+        abs(est["expected_node_visits"] - stats.total_visits / stats.num_queries)
+        <= 1
+    )
+    # Exact rescore runs per shard, so the mesh-total full-precision work
+    # is shard-summed like visits/comparisons.
+    assert est["expected_full_precision_comparisons"] == (
+        (params.rescore + 10) * index.num_shards
+    )
+
+    # Delete by global slot id: deleted rows vanish from results.
+    victim = int(ids[0, 0])
+    index.delete(np.asarray([victim]))
+    ids2, _ = index.search(queries[:1], k=k, params=params)
+    assert victim not in set(int(i) for i in ids2[0])
+    with pytest.raises(ValueError, match="out of range"):
+        index.delete(np.asarray([index.num_shards * index.shard_capacity]))

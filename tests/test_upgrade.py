@@ -25,7 +25,7 @@ FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 if FIXTURES not in sys.path:
     sys.path.insert(0, FIXTURES)
 from make_fixtures import fixture_data  # noqa: E402
-_VERSIONS = [1, 2]
+_VERSIONS = [1, 2, 3]
 
 
 def _expected():
@@ -68,17 +68,21 @@ def test_all_released_versions_have_fixtures():
         ), f"missing fixture for checkpoint version {version}"
 
 
-def test_v1_and_v2_answer_identically():
-    """The migration is content-preserving: both fixtures hold the same
-    index, so searches must agree exactly."""
-    a = DiskannIndex.load(os.path.join(FIXTURES, "checkpoint_v1.npz"))
-    b = DiskannIndex.load(os.path.join(FIXTURES, "checkpoint_v2.npz"))
+def test_all_versions_answer_identically():
+    """The migration chain is content-preserving: every fixture holds the
+    same index, so searches must agree exactly across all versions."""
     _, queries = fixture_data()
     pa = QueryParams(search_list_size=32, rescore=16)
-    ids_a, d_a = a.search(queries, k=5, params=pa)
-    ids_b, d_b = b.search(queries, k=5, params=pa)
-    np.testing.assert_array_equal(ids_a, ids_b)
-    np.testing.assert_allclose(d_a, d_b, rtol=0, atol=0)
+    results = []
+    for version in _VERSIONS:
+        idx = DiskannIndex.load(
+            os.path.join(FIXTURES, f"checkpoint_v{version}.npz")
+        )
+        results.append(idx.search(queries, k=5, params=pa))
+    ids0, d0 = results[0]
+    for ids, d in results[1:]:
+        np.testing.assert_array_equal(ids0, ids)
+        np.testing.assert_allclose(d0, d, rtol=0, atol=0)
 
 
 def test_future_version_rejected(tmp_path):
