@@ -35,11 +35,24 @@ import time
 import numpy as np
 
 # Persistent compile cache: wave/search kernels have a handful of fixed
-# shapes; caching makes repeat bench runs compile-free.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+# shapes; caching makes repeat bench runs compile-free.  The cache is
+# COMMITTED to the repo (populated on the same TPU type), so even a fresh
+# checkout's first run skips the ~300-1000 s of tunneled remote compiles
+# that dominated earlier rounds' runs.
+#
+# NOTE: the env var alone is NOT honored here — the axon sitecustomize
+# imports jax at interpreter startup, freezing config defaults before this
+# file runs.  jax.config.update() after import (see main()) is the
+# authoritative path; the setdefault stays for non-axon environments.
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"
 )
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+
+
+def _enable_compile_cache(jax):
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 _T0 = time.perf_counter()
 _DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 1200))
@@ -130,6 +143,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    _enable_compile_cache(jax)
+
     from pgvectorscale_tpu import DiskannIndex, DistanceType, IndexConfig, QueryParams
     from pgvectorscale_tpu.distance import preprocess_cosine
     from pgvectorscale_tpu.ops.bruteforce import brute_force_search
@@ -144,25 +159,51 @@ def main():
     _summary.update(n=n, dims=d, batch=q, device=str(jax.devices()[0].platform))
 
     # ONE timed build in the hot path (the round-2 double build blew the
-    # driver's budget).  The persistent compile cache makes this warm on
-    # any repeat run; BENCH_COLD=1 opts into an extra warm-program build
-    # to separate compile time from steady-state throughput.
+    # driver's budget).  The committed persistent compile cache makes this
+    # warm on a fresh checkout; BENCH_COLD=1 opts into an extra
+    # warm-program build to separate compile time from steady-state
+    # throughput.
+    #
+    # The refine pass (worth ~+0.015 recall at iso-QPS) runs as a SEPARATE
+    # deadline-gated step after the base build: at worst-case tunnel
+    # variance (the r3 driver build took 1,103 s cold) the base build must
+    # not drag an embedded refine past the deadline before any sweep point
+    # runs.
     refine = int(os.environ.get("BENCH_REFINE", 1))
-    _summary["refine_passes"] = refine
-    _status(f"building index: {n} x {d} (refine_passes={refine})")
+    _status(f"building index: {n} x {d}")
     t0 = time.perf_counter()
-    index = DiskannIndex.build(vectors, config, refine_passes=refine)
+    index = DiskannIndex.build(vectors, config, refine_passes=0)
     jax.block_until_ready(index.arrays.adjacency)
     build_s = time.perf_counter() - t0
     _summary["build_vectors_per_sec"] = round(n / build_s, 1)
     _summary["build_seconds"] = round(build_s, 1)
     _summary["status"] = "built"
     _status(f"build done in {build_s:.1f}s ({n / build_s:.0f} vec/s)")
+
+    # Refine only when the remaining budget comfortably covers it plus the
+    # two headline sweep points: the pass costs about one extra build, so
+    # require ~2x the measured base build + 240 s of sweep headroom.
+    refine_done = 0
+    for _ in range(refine):
+        if _time_left() < 2 * build_s + 240:
+            _summary["refine_skipped"] = True
+            _status("deadline: skipping refine pass")
+            break
+        t0 = time.perf_counter()
+        index._refine_pass()
+        from pgvectorscale_tpu.graph.build import finalize
+
+        index.arrays = finalize(index.arrays, index._ctx)
+        jax.block_until_ready(index.arrays.adjacency)
+        refine_done += 1
+        _status(f"refine pass in {time.perf_counter() - t0:.1f}s")
+    _summary["refine_passes"] = refine_done
     if os.environ.get("BENCH_COLD") == "1":
         t0 = time.perf_counter()
-        index = DiskannIndex.build(vectors, config, refine_passes=refine)
-        jax.block_until_ready(index.arrays.adjacency)
+        index2 = DiskannIndex.build(vectors, config, refine_passes=0)
+        jax.block_until_ready(index2.arrays.adjacency)
         warm_s = time.perf_counter() - t0
+        del index2
         _summary["build_warm_vectors_per_sec"] = round(n / warm_s, 1)
         _status(f"warm build in {warm_s:.1f}s ({n / warm_s:.0f} vec/s)")
 
@@ -182,40 +223,48 @@ def main():
         index.search(queries, k=k, params=params)  # warmup/compile
         samples = []
         ids = None
-        # Median-of-5 defends against tunneled-TPU run-to-run variance.
-        for _ in range(5):
+        # Median-of-5 defends against tunneled-TPU run-to-run variance;
+        # drop to median-of-3 when the deadline is near so late sweep
+        # points still land (the r3 driver run recorded ONE point).
+        reps = 3 if _time_left() < 300 else 5
+        for _ in range(reps):
             t0 = time.perf_counter()
             ids, _ = index.search(queries, k=k, params=params)
             samples.append(time.perf_counter() - t0)
-        qps = q / sorted(samples)[len(samples) // 2]
+        samples.sort()
+        qps = q / samples[len(samples) // 2]
         hits = sum(
             len(gt_sets[r] & set(int(i) for i in ids[r] if i >= 0))
             for r in range(q)
         )
-        return qps, hits / (q * k)
+        spread = {
+            "qps_min": round(q / samples[-1], 1),
+            "qps_max": round(q / samples[0], 1),
+            "reps": reps,
+        }
+        return qps, hits / (q * k), spread
 
-    # Operating-point sweep, cheap->expensive.  Two headline regimes:
-    # the >=0.9 gate (the reference's in-repo recall gate,
-    # filtering_tests.rs:1005-1019) and the >=0.99 point (the reference's
-    # published QPS/latency regime, README.md:17-21).  The sweep stops at
-    # the deadline or once both are found.
+    # Operating-point sweep.  Two headline regimes FIRST: the >=0.9 gate
+    # (the reference's in-repo recall gate, filtering_tests.rs:1005-1019)
+    # at slot 1 and the >=0.99 point (the reference's published
+    # QPS/latency regime, README.md:17-21) at slot 2, so even a
+    # deadline-truncated sweep reports both.  Then the "scored" strategy
+    # points (the r3 verdict asked for TPU receipts), then curve fill-in.
     # Points tuned on-hardware (results/sweep_explore_r3 + the hybrid
-    # window grid): headline first so an interrupt still reports the key
-    # regimes, then the >=0.99 candidates (small-L/large-rescore with the
-    # full-width "beam" strategy — the visit budget keyed to L is what
-    # makes them fast), then the expansion-strategy mid band and curve
-    # fill-in.
+    # window grid).
     sweep = [
         QueryParams(search_list_size=150, rescore=300, expand=1),
+        QueryParams(search_list_size=200, rescore=1500, expand=2,
+                    window_strategy="beam"),
+        QueryParams(search_list_size=130, rescore=250, expand=1),
+        QueryParams(search_list_size=120, rescore=220, expand=1),
+        QueryParams(search_list_size=200, rescore=1500, expand=2,
+                    window_strategy="scored"),
+        QueryParams(search_list_size=300, rescore=1500, expand=2,
+                    window_strategy="beam"),
+        QueryParams(search_list_size=300, rescore=1500, expand=2,
+                    window_strategy="scored"),
         QueryParams(search_list_size=150, rescore=300, expand=2),
-        QueryParams(search_list_size=200, rescore=1500, expand=2,
-                    window_strategy="beam"),
-        QueryParams(search_list_size=200, rescore=1500, expand=2,
-                    window_strategy="scored"),
-        QueryParams(search_list_size=300, rescore=1500, expand=2,
-                    window_strategy="beam"),
-        QueryParams(search_list_size=300, rescore=1500, expand=2,
-                    window_strategy="scored"),
         QueryParams(search_list_size=150, rescore=1000, expand=2),
         QueryParams(search_list_size=200, rescore=1500, expand=2),
         QueryParams(search_list_size=300, rescore=1500, expand=2),
@@ -224,11 +273,13 @@ def main():
         QueryParams(search_list_size=100, rescore=50, expand=4),
     ]
     points = []
+    truncated = False
     for params in sweep:
         if _time_left() < 60 and points:
             _status("deadline: stopping sweep")
+            truncated = True
             break
-        qps, recall = measure(params)
+        qps, recall, spread = measure(params)
         point = {
             "L": params.search_list_size,
             "rescore": params.rescore,
@@ -236,6 +287,7 @@ def main():
             "strategy": params.window_strategy,
             "qps": round(qps, 1),
             "recall": round(recall, 4),
+            **spread,
         }
         points.append(point)
         _status(f"sweep {point}")
@@ -266,7 +318,10 @@ def main():
                 "recall": best99["recall"],
             }
 
-    _summary["status"] = "complete"
+    # A machine reader must be able to tell a finished sweep from a
+    # deadline-truncated one (round-3 advisor finding).
+    _summary["status"] = "deadline-truncated" if truncated else "complete"
+    _summary["sweep_truncated"] = truncated
     _print_summary()
 
 

@@ -33,6 +33,14 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
+    # Env var alone is not honored under the axon sitecustomize (jax is
+    # imported at interpreter startup); config.update is authoritative.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ["JAX_COMPILATION_CACHE_DIR"],
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from pgvectorscale_tpu import (
         DiskannIndex,
         DistanceType,

@@ -38,6 +38,18 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache_tpu")
 )
 
+
+def _enable_compile_cache():
+    # The env var alone is not honored under the axon sitecustomize (jax
+    # is imported at interpreter startup, freezing config defaults);
+    # config.update after import is authoritative.
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache_tpu")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 REPS = int(os.environ.get("KB_REPS", 10))
 
 
@@ -270,6 +282,7 @@ def main(argv=None):
         "case", nargs="*", choices=sorted(CASES) + [[]], default=[]
     )
     args = ap.parse_args(argv)
+    _enable_compile_cache()
     import jax
 
     _emit({"device": str(jax.devices()[0].platform), "reps": REPS})

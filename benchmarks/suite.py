@@ -42,6 +42,18 @@ os.environ.setdefault(
 )
 
 
+def _enable_compile_cache():
+    # The env var alone is not honored under the axon sitecustomize (jax
+    # is imported at interpreter startup, freezing config defaults);
+    # config.update after import is authoritative.
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache_tpu")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def _emit(obj):
     print(json.dumps(obj))
     sys.stdout.flush()
@@ -116,6 +128,70 @@ def _build(vectors, config, **kw):
     return index
 
 
+def _sbq_ceiling(index, queries, gt, rescores, chunk=256):
+    """Quantizer rescore-recall ceiling at THIS corpus scale: recall@10 if
+    the beam were exact and only the rescore window limited recall (rank
+    ALL rows by exact code Hamming, keep top-`rescore`, exact-rescore).
+    Separates quantizer loss from graph/visit loss — the round-3 harness
+    (results/sweep_explore_r3.json) ported from 100k to the artifact's N."""
+    import jax
+    import jax.numpy as jnp
+
+    from pgvectorscale_tpu.config import DistanceType
+    from pgvectorscale_tpu.distance import preprocess_cosine
+    from pgvectorscale_tpu.ops import sbq
+    from pgvectorscale_tpu.ops.hamming import hamming_distance_matrix
+    from pgvectorscale_tpu import store
+
+    config = index.config
+    k = gt.shape[1]
+    qv = jnp.asarray(np.asarray(queries, np.float32))
+    if config.distance_type == DistanceType.COSINE:
+        qv = preprocess_cosine(qv)
+    qc = sbq.encode(
+        qv[:, : config.dims_to_index], index.sbq_stats,
+        config.bits_per_dimension,
+    )
+    m = max(rescores) + k
+    arrays = index.arrays
+
+    @jax.jit
+    def topm_by_code(qc_chunk, qv_chunk, codes):
+        d = hamming_distance_matrix(qc_chunk, codes).astype(jnp.float32)
+        _, ids = jax.lax.top_k(-d, m)
+        vecs = store.dequant_rows(
+            arrays.vectors, arrays.vec_scales, ids
+        ).astype(jnp.float32)
+        if config.distance_type == DistanceType.L2:
+            diff = vecs - qv_chunk[:, None, :]
+            exact = jnp.sum(diff * diff, axis=-1)
+        else:
+            dots = jnp.einsum("qmd,qd->qm", vecs, qv_chunk,
+                              preferred_element_type=jnp.float32)
+            exact = (
+                -dots
+                if config.distance_type == DistanceType.INNER_PRODUCT
+                else 1.0 - dots
+            )
+        return ids, exact
+
+    nq = qv.shape[0]
+    out = {r: 0 for r in rescores}
+    for i in range(0, nq, chunk):
+        ids, exact = topm_by_code(
+            qc[i : i + chunk], qv[i : i + chunk], arrays.codes
+        )
+        ids, exact = np.asarray(ids), np.asarray(exact)
+        for r in rescores:
+            order = np.argsort(exact[:, : r + k], axis=1)[:, :k]
+            top = np.take_along_axis(ids[:, : r + k], order, axis=1)
+            for row in range(ids.shape[0]):
+                out[r] += len(set(gt[i + row]) & set(int(x) for x in top[row]))
+    for r in rescores:
+        _emit({"phase": "sbq-ceiling", "rescore": r,
+               "ceiling": round(out[r] / (nq * k), 4)})
+
+
 def run_sift1m(n, q):
     from pgvectorscale_tpu import DistanceType, IndexConfig, QueryParams
     from pgvectorscale_tpu.io.datasets import synthetic_corpus
@@ -124,18 +200,24 @@ def run_sift1m(n, q):
     vectors, queries = synthetic_corpus("sift", n, q, seed=42)
     config = IndexConfig(num_dimensions=128, distance_type=DistanceType.L2)
     assert config.bits_per_dimension == 2  # <900 dims -> 2-bit default
-    index = _build(vectors, config)
+    refine = int(os.environ.get("SUITE_REFINE", 1))
+    index = _build(vectors, config, refine_passes=refine)
     gt = _ground_truth(vectors, queries, k, DistanceType.L2)
-    for L, resc, e, strat in [
-        (100, 50, 4, "expand"), (100, 150, 4, "expand"),
-        (150, 300, 2, "expand"), (150, 1000, 2, "expand"),
-        (300, 1500, 2, "expand"), (200, 1500, 2, "beam"),
+    if os.environ.get("SUITE_CEILING", "1") == "1":
+        _sbq_ceiling(index, queries, gt, [50, 300, 600, 1500])
+    for L, resc, e, strat, vf in [
+        (100, 50, 4, "expand", 1.0), (100, 150, 4, "expand", 1.0),
+        (150, 300, 2, "expand", 1.0), (150, 300, 2, "expand", 2.0),
+        (150, 600, 2, "expand", 2.0), (150, 1000, 2, "expand", 1.0),
+        (300, 1500, 2, "expand", 1.0), (200, 1500, 2, "beam", 1.0),
+        (200, 1500, 2, "beam", 2.0), (200, 1500, 2, "scored", 2.0),
+        (300, 1500, 2, "beam", 2.0),
     ]:
         params = QueryParams(search_list_size=L, rescore=resc, expand=e,
-                             window_strategy=strat)
+                             window_strategy=strat, visit_factor=vf)
         ids, qps = _timed_search(index, queries, k, params)
         _emit({"L": L, "rescore": resc, "expand": e, "strategy": strat,
-               "qps": round(qps, 1),
+               "visit_factor": vf, "qps": round(qps, 1),
                "recall": round(_recall(gt, ids), 4)})
 
 
@@ -321,6 +403,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("config", choices=sorted(CONFIGS))
     args = ap.parse_args(argv)
+    _enable_compile_cache()
     fn, def_n, def_q = CONFIGS[args.config]
     n = int(os.environ.get("SUITE_N", def_n))
     q = int(os.environ.get("SUITE_Q", def_q))

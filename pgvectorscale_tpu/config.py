@@ -307,6 +307,13 @@ class QueryParams:
     rescore: int = DEFAULT_QUERY_RESCORE
     expand: int = 4
     window_strategy: str = "expand"
+    # Visit-budget scale (TPU-only knob): the fixed-shape search loop caps
+    # visits at ~1.5*L (the reference's unbounded loop instead runs until
+    # the top-L beam is fully visited, graph/mod.rs:153-170).  At small N
+    # the cap is never hit; on deep graphs (1M+) convergence can need more
+    # visits per beam slot, so raising this trades latency for recall
+    # without widening the beam or the rescore window.
+    visit_factor: float = 1.0
 
     def __post_init__(self):
         if self.search_list_size < 1:
@@ -319,3 +326,5 @@ class QueryParams:
             raise ValueError(
                 "window_strategy must be 'expand', 'beam' or 'scored'"
             )
+        if not (0.25 <= self.visit_factor <= 16.0):
+            raise ValueError("visit_factor must be in [0.25, 16.0]")

@@ -722,15 +722,26 @@ class DiskannIndex:
                 [self.external_ids, external_ids[n_reuse:]]
             )
         fresh_ids = np.arange(n0, needed, dtype=np.int32)
+        # Batch adds use ONE wave sized to the smallest geometric bucket
+        # that fits (256, 512, ..., 4096): the build's 256-first ramp
+        # exists so early nodes see a dense graph, which an add against an
+        # established graph never needs — a 3k-row add was paying 4-5
+        # sequential wave dispatches (measured 316 rows/s streaming; the
+        # reference's aminsert does one graph insert per tuple with no
+        # ramp either, build.rs:464-559).  Bucket sizes reuse the build's
+        # compiled wave shapes.
+        add_bucket = 256
+        while add_bucket < min(m, 4096):
+            add_bucket *= 2
         if n_reuse:
             # Reused rows sit anywhere in the id space, so prefix-based
             # wave scheduling does not apply: insert with full-graph beam
             # waves.
             self._insert_ids_into_graph(
-                reuse_rows, full_graph=True
+                reuse_rows, full_graph=True, initial_wave=add_bucket
             )
         if fresh:
-            self._insert_ids_into_graph(fresh_ids)
+            self._insert_ids_into_graph(fresh_ids, initial_wave=add_bucket)
         from .graph.build import repair_orphans
 
         self.arrays = repair_orphans(self.arrays, self._ctx)
@@ -824,7 +835,7 @@ class DiskannIndex:
             config=config,
             k=k,
             search_list_size=beam_width,
-            max_iters=_query_max_iters(l),
+            max_iters=_query_max_iters(l, params.visit_factor),
             rescore_n=params.rescore,
             use_exact=use_exact,
             filtered=filtered,
@@ -1533,10 +1544,10 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _query_max_iters(l: int) -> int:
+def _query_max_iters(l: int, visit_factor: float = 1.0) -> int:
     import math
 
-    return int(math.ceil(1.5 * l)) + 16
+    return int(math.ceil(1.5 * l * visit_factor)) + 16
 
 
 def _register_label_starts_host(

@@ -179,7 +179,7 @@ def test_slot_reuse_copy_on_write_external_ids(rng):
     config = IndexConfig(
         num_dimensions=d,
         distance_type=DistanceType.L2,
-        num_neighbors=8,
+        num_neighbors=10,
         search_list_size=16,
     )
     index = DiskannIndex.build(vectors, config)
@@ -206,7 +206,7 @@ def test_add_failure_leaves_index_unchanged(rng):
     config = IndexConfig(
         num_dimensions=d,
         distance_type=DistanceType.L2,
-        num_neighbors=8,
+        num_neighbors=10,
         search_list_size=16,
         max_labels_per_vector=2,
     )
