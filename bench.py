@@ -148,6 +148,7 @@ def main():
     from pgvectorscale_tpu import DiskannIndex, DistanceType, IndexConfig, QueryParams
     from pgvectorscale_tpu.distance import preprocess_cosine
     from pgvectorscale_tpu.ops.bruteforce import brute_force_search
+    from pgvectorscale_tpu.utils.sync import device_sync
 
     rng = np.random.default_rng(42)
     rank = 48  # realistic effective rank for embedding corpora
@@ -173,7 +174,10 @@ def main():
     _status(f"building index: {n} x {d}")
     t0 = time.perf_counter()
     index = DiskannIndex.build(vectors, config, refine_passes=0)
-    jax.block_until_ready(index.arrays.adjacency)
+    # block_until_ready is a NO-OP on the tunneled axon platform (it
+    # resolves at dispatch, not execution) — device_sync pulls one element,
+    # which completes only after the queued build programs actually ran.
+    device_sync(index.arrays.adjacency)
     build_s = time.perf_counter() - t0
     _summary["build_vectors_per_sec"] = round(n / build_s, 1)
     _summary["build_seconds"] = round(build_s, 1)
@@ -194,14 +198,14 @@ def main():
         from pgvectorscale_tpu.graph.build import finalize
 
         index.arrays = finalize(index.arrays, index._ctx)
-        jax.block_until_ready(index.arrays.adjacency)
+        device_sync(index.arrays.adjacency)
         refine_done += 1
         _status(f"refine pass in {time.perf_counter() - t0:.1f}s")
     _summary["refine_passes"] = refine_done
     if os.environ.get("BENCH_COLD") == "1":
         t0 = time.perf_counter()
         index2 = DiskannIndex.build(vectors, config, refine_passes=0)
-        jax.block_until_ready(index2.arrays.adjacency)
+        device_sync(index2.arrays.adjacency)
         warm_s = time.perf_counter() - t0
         del index2
         _summary["build_warm_vectors_per_sec"] = round(n / warm_s, 1)

@@ -47,6 +47,7 @@ def main():
         IndexConfig,
         QueryParams,
     )
+    from pgvectorscale_tpu.utils.sync import device_sync
     from pgvectorscale_tpu.distance import preprocess_cosine
     from pgvectorscale_tpu.io.datasets import synthetic_corpus
 
@@ -59,7 +60,7 @@ def main():
     )
     t0 = time.perf_counter()
     index = DiskannIndex.build(vectors, config)
-    jax.block_until_ready(index.arrays.adjacency)
+    device_sync(index.arrays.adjacency)
     build_s = time.perf_counter() - t0
     print(
         json.dumps(

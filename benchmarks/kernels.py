@@ -14,15 +14,28 @@ leaving them as prose:
                     (the ~60%-of-search-time win, index._build_edge_codes).
 - ``beammerge``   — bitonic merge network vs full concat-sort for the
                     beam update (graph/search.py merge_sorted_into_beam).
+- ``rescore``     — exact-rescore gather+distance at each stored-vector
+                    tier (f32 / bf16 / int8).
+
+TIMING MODEL.  ``jax.block_until_ready`` is a NO-OP on the tunneled axon
+platform (it resolves at dispatch, not execution), and a device->host pull
+costs ~0.4 s — both far larger than the sub-ms kernels measured here.  So
+each case is timed as a device-side chained loop: ``lax.fori_loop`` runs
+the kernel N times (input perturbed by the loop index so XLA cannot hoist
+the body out of the loop), one f32 checksum is pulled at the end, and the
+per-iteration time is the SLOPE between two loop lengths —
+``(T(n_hi) - T(n_lo)) / (n_hi - n_lo)`` — which cancels both the pull
+latency and the dispatch overhead.  The loop length grows geometrically
+until the total wall time dominates the pull latency.
 
 Prints one JSON line per case.  Run on TPU:
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/kernels.py
-Env knobs: KB_REPS (default 10).
+Env knobs: KB_TARGET_S (seconds of device work per sample, default 3),
+KB_PAIRS (slope samples per case, default 3).
 """
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
@@ -50,7 +63,9 @@ def _enable_compile_cache():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-REPS = int(os.environ.get("KB_REPS", 10))
+
+TARGET_S = float(os.environ.get("KB_TARGET_S", 3.0))
+PAIRS = int(os.environ.get("KB_PAIRS", 3))
 
 
 def _emit(obj):
@@ -58,22 +73,51 @@ def _emit(obj):
     sys.stdout.flush()
 
 
-def _time(fn, *args):
-    """Median-of-REPS wall time of a blocked jitted call (compile excluded)."""
-    import jax
+def _time(step, *args):
+    """Median per-iteration seconds of ``step(i, *args) -> f32 scalar``.
 
-    jax.block_until_ready(fn(*args))  # compile + warm
-    ts = []
-    for _ in range(REPS):
+    Builds one jitted ``fori_loop`` whose trip count is a runtime argument
+    (one compile serves every N), grows N until a run takes >= TARGET_S of
+    wall time, then samples the slope between N and N//4 runs PAIRS times
+    and returns the median.  The checksum pull at the end of each run is
+    the only host sync; its latency cancels in the slope."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def loop(n_iters, *a):
+        def body(i, acc):
+            return acc + step(i, *a)
+
+        return lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+
+    def run(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2]
+        v = float(loop(jnp.int32(n), *args))
+        dt = time.perf_counter() - t0
+        if not np.isfinite(v):
+            raise AssertionError(f"non-finite checksum {v}")
+        return dt
+
+    run(1)  # compile + warm
+    n = 8
+    t = run(n)
+    while t < TARGET_S and n < (1 << 22):
+        n *= 4
+        t = run(n)
+    n_lo = max(1, n // 4)
+    slopes = []
+    for _ in range(PAIRS):
+        t_hi = run(n)
+        t_lo = run(n_lo)
+        slopes.append((t_hi - t_lo) / (n - n_lo))
+    return sorted(slopes)[len(slopes) // 2]
 
 
 def bench_hamming():
-    import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from pgvectorscale_tpu.ops.hamming import hamming_distance_matrix
     from pgvectorscale_tpu.ops.pallas_hamming import hamming_matrix_pallas
@@ -83,23 +127,35 @@ def bench_hamming():
     qc = jnp.asarray(rng.integers(0, 2**32, (q, w), dtype=np.uint32))
     cc = jnp.asarray(rng.integers(0, 2**32, (n, w), dtype=np.uint32))
 
-    xla = jax.jit(hamming_distance_matrix)
-    t_xla = _time(xla, qc, cc)
+    def step_xla(i, qc, cc):
+        d = hamming_distance_matrix(qc ^ i.astype(jnp.uint32), cc)
+        return jnp.sum(d.astype(jnp.float32))
+
+    t_xla = _time(step_xla, qc, cc)
     _emit(
         {
             "bench": "hamming-matrix",
             "shape": f"{q}x{n}x{w * 32}bit",
-            "xla_ms": round(t_xla * 1e3, 2),
+            "xla_ms": round(t_xla * 1e3, 3),
             "xla_gcmp_per_s": round(q * n / t_xla / 1e9, 1),
+            # 2 u32 streams of q*w + n*w reads are negligible; the [q, n]
+            # i32 result write dominates traffic:
+            "xla_gb_per_s": round(q * n * 4 / t_xla / 1e9, 1),
         }
     )
     try:
-        pl = functools.partial(hamming_matrix_pallas, interpret=False)
-        t_pl = _time(jax.jit(pl), qc, cc)
+
+        def step_pl(i, qc, cc):
+            d = hamming_matrix_pallas(
+                qc ^ i.astype(jnp.uint32), cc, interpret=False
+            )
+            return jnp.sum(d.astype(jnp.float32))
+
+        t_pl = _time(step_pl, qc, cc)
         _emit(
             {
                 "bench": "hamming-matrix-pallas",
-                "pallas_ms": round(t_pl * 1e3, 2),
+                "pallas_ms": round(t_pl * 1e3, 3),
                 "pallas_vs_xla": round(t_pl / t_xla, 2),
             }
         )
@@ -108,36 +164,34 @@ def bench_hamming():
 
 
 def bench_edgecache():
-    import jax
     import jax.numpy as jnp
+    from jax import lax
 
     rng = np.random.default_rng(1)
-    cap, r, w = 100_000, 65, 8
+    # Production shape: 1M rows is where the scattered gather loses (the
+    # whole codes table no longer fits in any cache tier and each
+    # candidate's neighbor codes are 32-byte rows scattered across HBM).
+    cap, r, w = 1_000_000, 65, 8
     q, e = 8192, 2  # one beam step's frontier
     codes = jnp.asarray(rng.integers(0, 2**32, (cap, w), dtype=np.uint32))
-    adjacency = jnp.asarray(
-        rng.integers(0, cap, (cap, r), dtype=np.int32)
-    )
-    edge_codes = None  # built below
+    adjacency = jnp.asarray(rng.integers(0, cap, (cap, r), dtype=np.int32))
     sel = jnp.asarray(rng.integers(0, cap, (q, e), dtype=np.int32))
     qcodes = jnp.asarray(rng.integers(0, 2**32, (q, w), dtype=np.uint32))
 
-    # Big tensors are jit ARGUMENTS, not closure captures — captures
+    # Big tensors are loop ARGUMENTS, not closure captures — captures
     # become program constants (and blow the tunneled remote-compile
     # request limit; see CLAUDE.md), and constant-folding would skew the
     # very layout behavior this bench measures.
-    @jax.jit
-    def scattered(adjacency, codes, sel, qcodes):
-        from jax import lax
-
-        nbrs = adjacency[sel].reshape(q, e * r)
-        g = codes[jnp.maximum(nbrs, 0)]  # [q, e*r, w] scattered 32B rows
+    def scattered(i, adjacency, codes, sel, qcodes):
+        s = (sel + i) % cap
+        nbrs = adjacency[s].reshape(q, e * r)
+        g = codes[nbrs]  # [q, e*r, w] scattered 32B rows
         x = jnp.bitwise_xor(g, qcodes[:, None, :])
-        return jnp.sum(lax.population_count(x).astype(jnp.int32), axis=-1)
+        d = jnp.sum(lax.population_count(x).astype(jnp.int32), axis=-1)
+        return jnp.sum(d.astype(jnp.float32))
 
     t_scat = _time(scattered, adjacency, codes, sel, qcodes)
 
-    from pgvectorscale_tpu.store import GraphArrays  # noqa: F401  (doc link)
     from pgvectorscale_tpu.index import _build_edge_codes
 
     class _A:  # minimal shim with the fields _build_edge_codes reads
@@ -148,32 +202,30 @@ def bench_edgecache():
     a.codes = codes
     edge_codes = _build_edge_codes(a)
 
-    @jax.jit
-    def cached(edge_codes, sel, qcodes):
-        from jax import lax
-
-        ec = edge_codes[jnp.maximum(sel, 0)]  # [q, e, r*w] contiguous rows
+    def cached(i, edge_codes, sel, qcodes):
+        s = (sel + i) % cap
+        ec = edge_codes[s]  # [q, e, r*w] contiguous rows
         qtile = jnp.tile(qcodes, (1, r))
         x = jnp.bitwise_xor(ec, qtile[:, None, :])
-        return jnp.sum(
+        d = jnp.sum(
             lax.population_count(x).astype(jnp.int32).reshape(q, e, r, w),
             axis=-1,
         )
+        return jnp.sum(d.astype(jnp.float32))
 
     t_cache = _time(cached, edge_codes, sel, qcodes)
     _emit(
         {
             "bench": "edge-code-reads",
-            "shape": f"q={q} e={e} r={r} {w * 32}bit",
-            "scattered_ms": round(t_scat * 1e3, 2),
-            "cached_ms": round(t_cache * 1e3, 2),
+            "shape": f"cap={cap} q={q} e={e} r={r} {w * 32}bit",
+            "scattered_ms": round(t_scat * 1e3, 3),
+            "cached_ms": round(t_cache * 1e3, 3),
             "speedup": round(t_scat / t_cache, 2),
         }
     )
 
 
 def bench_beammerge():
-    import jax
     import jax.numpy as jnp
     from jax import lax
 
@@ -187,24 +239,35 @@ def bench_beammerge():
     cd = jnp.asarray(rng.random((q, er)).astype(np.float32))
     ci = jnp.asarray(rng.integers(0, 1 << 20, (q, er), dtype=np.int32))
 
-    bitonic = jax.jit(merge_sorted_into_beam)
-    t_bitonic = _time(bitonic, bd, bi, bv, cd, ci)
+    def checksum(out):
+        sd, si, sv = out
+        return (
+            jnp.sum(sd)
+            + jnp.sum(si.astype(jnp.float32)) * 1e-9
+            + jnp.sum(sv.astype(jnp.float32)) * 1e-9
+        )
 
-    @jax.jit
-    def full_sort(bd, bi, bv, cd, ci):
-        d = jnp.concatenate([bd, cd], axis=1)
-        i = jnp.concatenate([bi, ci], axis=1)
+    def step_bitonic(i, bd, bi, bv, cd, ci):
+        c = cd + i.astype(jnp.float32) * 1e-9
+        return checksum(merge_sorted_into_beam(bd, bi, bv, c, ci))
+
+    t_bitonic = _time(step_bitonic, bd, bi, bv, cd, ci)
+
+    def step_full(i, bd, bi, bv, cd, ci):
+        c = cd + i.astype(jnp.float32) * 1e-9
+        d = jnp.concatenate([bd, c], axis=1)
+        ii = jnp.concatenate([bi, ci], axis=1)
         v = jnp.concatenate([bv, jnp.zeros_like(ci, jnp.bool_)], axis=1)
-        sd, si, sv = lax.sort((d, i, v), dimension=1, num_keys=1)
-        return sd[:, :bl], si[:, :bl], sv[:, :bl]
+        sd, si, sv = lax.sort((d, ii, v), dimension=1, num_keys=1)
+        return checksum((sd[:, :bl], si[:, :bl], sv[:, :bl]))
 
-    t_full = _time(full_sort, bd, bi, bv, cd, ci)
+    t_full = _time(step_full, bd, bi, bv, cd, ci)
     _emit(
         {
             "bench": "beam-merge",
             "shape": f"q={q} beam={bl} cand={er}",
-            "bitonic_ms": round(t_bitonic * 1e3, 2),
-            "full_sort_ms": round(t_full * 1e3, 2),
+            "bitonic_ms": round(t_bitonic * 1e3, 3),
+            "full_sort_ms": round(t_full * 1e3, 3),
             "speedup": round(t_full / t_bitonic, 2),
         }
     )
@@ -217,7 +280,6 @@ def bench_rescore_tiers():
     them against the query — HBM-bandwidth-bound, so the tier dtype sets
     the ceiling: bf16 halves the bytes read, int8 (+ per-row scale)
     quarters them.  Receipt for the docs/DESIGN.md memory-budget claims."""
-    import jax
     import jax.numpy as jnp
 
     from pgvectorscale_tpu.store import dequant_rows, quantize_rows
@@ -237,29 +299,34 @@ def bench_rescore_tiers():
         if tier == "int8":
             vecs8, scales = quantize_rows(jnp.asarray(base))
 
-            @jax.jit
-            def gathered(vectors, scales, ids, qv):
-                rows = dequant_rows(vectors, scales, jnp.maximum(ids, 0))
-                return dist_from(rows, qv)
+            def step(i, vectors, scales, ids, qv):
+                s = (ids + i) % n
+                rows = dequant_rows(vectors, scales, s)
+                return jnp.sum(dist_from(rows, qv))
 
-            t = _time(gathered, vecs8, scales, ids, qv)
+            t = _time(step, vecs8, scales, ids, qv)
         else:
             dt = jnp.bfloat16 if tier == "bf16" else jnp.float32
             vecs = jnp.asarray(base, dtype=dt)
 
-            @jax.jit
-            def gathered(vectors, ids, qv):
-                return dist_from(vectors[jnp.maximum(ids, 0)], qv)
+            def step(i, vectors, ids, qv):
+                s = (ids + i) % n
+                return jnp.sum(dist_from(vectors[s], qv))
 
-            t = _time(gathered, vecs, ids, qv)
+            t = _time(step, vecs, ids, qv)
         results[tier] = t
+        del step
+    bytes_f32 = q * m * d * 4
     _emit(
         {
             "bench": "rescore-tiers",
             "shape": f"n={n} d={d} q={q} m={m}",
-            "f32_ms": round(results["f32"] * 1e3, 2),
-            "bf16_ms": round(results["bf16"] * 1e3, 2),
-            "int8_ms": round(results["int8"] * 1e3, 2),
+            "f32_ms": round(results["f32"] * 1e3, 3),
+            "bf16_ms": round(results["bf16"] * 1e3, 3),
+            "int8_ms": round(results["int8"] * 1e3, 3),
+            "f32_gather_gb_per_s": round(
+                bytes_f32 / results["f32"] / 1e9, 1
+            ),
             "bf16_speedup": round(results["f32"] / results["bf16"], 2),
             "int8_speedup": round(results["f32"] / results["int8"], 2),
         }
@@ -285,7 +352,14 @@ def main(argv=None):
     _enable_compile_cache()
     import jax
 
-    _emit({"device": str(jax.devices()[0].platform), "reps": REPS})
+    _emit(
+        {
+            "device": str(jax.devices()[0].platform),
+            "timing": "fori_loop slope (see module docstring)",
+            "target_s": TARGET_S,
+            "pairs": PAIRS,
+        }
+    )
     for name in args.case or sorted(CASES):
         CASES[name]()
 

@@ -3,8 +3,9 @@ round-3 verdict asked for: "no committed profile breaks down the add
 path").
 
 Builds the streaming config's base index (Cohere-768-like, bf16 tier,
-SBQ 1-bit), then times each phase of a single add batch separately with
-``block_until_ready`` barriers between phases:
+SBQ 1-bit), then times each phase of a single add batch separately with true
+``device_sync`` barriers between phases (block_until_ready is a no-op on
+the tunneled axon platform — it resolves at dispatch, not execution):
 
 - ``ingest``   — normalize + encode + store scatter (_add_ingest_jit)
 - ``wave``     — the fused graph-insert wave (_wave_step_jit dispatch)
@@ -51,6 +52,7 @@ def main():
     from pgvectorscale_tpu.index import _add_ingest_jit
     from pgvectorscale_tpu.io.datasets import synthetic_corpus
     from pgvectorscale_tpu import store
+    from pgvectorscale_tpu.utils.sync import device_sync
 
     n = int(os.environ.get("PA_N", 100_000))
     batch = int(os.environ.get("PA_BATCH", 3125))
@@ -65,13 +67,13 @@ def main():
     )
     t0 = time.perf_counter()
     index = DiskannIndex.build(vectors[:n], config)
-    jax.block_until_ready(index.arrays.adjacency)
+    device_sync(index.arrays.adjacency)
     _emit({"phase": "base-build", "n": n,
            "seconds": round(time.perf_counter() - t0, 1)})
 
     # Warm every program once (first add pays compiles).
     index.add(vectors[n : n + batch])
-    jax.block_until_ready(index.arrays.adjacency)
+    device_sync(index.arrays.adjacency)
 
     done = n + batch
     phases = {"ingest": [], "wave": [], "repair": [], "add_total": []}
@@ -96,7 +98,7 @@ def main():
             jnp.asarray(n0, dtype=jnp.int32),
             config=config,
         )
-        jax.block_until_ready(index.arrays.vectors)
+        device_sync(index.arrays.vectors)
         phases["ingest"].append(time.perf_counter() - t0)
 
         index.external_ids = np.concatenate(
@@ -106,12 +108,12 @@ def main():
         index._insert_ids_into_graph(
             np.arange(n0, n0 + m, dtype=np.int32), initial_wave=4096
         )
-        jax.block_until_ready(index.arrays.adjacency)
+        device_sync(index.arrays.adjacency)
         phases["wave"].append(time.perf_counter() - t0)
 
         t0 = time.perf_counter()
         index.arrays = repair_orphans(index.arrays, index._ctx)
-        jax.block_until_ready(index.arrays.adjacency)
+        device_sync(index.arrays.adjacency)
         phases["repair"].append(time.perf_counter() - t0)
 
         # --- one plain end-to-end add for comparison ---
@@ -119,7 +121,7 @@ def main():
         done += batch
         t0 = time.perf_counter()
         index.add(vecs)
-        jax.block_until_ready(index.arrays.adjacency)
+        device_sync(index.arrays.adjacency)
         phases["add_total"].append(time.perf_counter() - t0)
 
     for name, ts in phases.items():

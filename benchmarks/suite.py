@@ -98,6 +98,9 @@ def _recall(gt, ids):
 
 
 def _timed_search(index, queries, k, params, reps=5, **kw):
+    """Median-of-reps QPS + min/max spread (the tunneled link varies up to
+    4x run-to-run; single samples are uninterpretable — VERDICT r3 weak #4).
+    search() itself pulls ids to host, so each sample is a true barrier."""
     index.search(queries, k=k, params=params, **kw)  # warm / compile
     ts = []
     ids = None
@@ -105,17 +108,26 @@ def _timed_search(index, queries, k, params, reps=5, **kw):
         t0 = time.perf_counter()
         ids, _ = index.search(queries, k=k, params=params, **kw)
         ts.append(time.perf_counter() - t0)
-    return ids, len(queries) / sorted(ts)[len(ts) // 2]
+    ts.sort()
+    q = len(queries)
+    spread = {
+        "qps_min": round(q / ts[-1], 1),
+        "qps_max": round(q / ts[0], 1),
+        "reps": reps,
+    }
+    return ids, q / ts[len(ts) // 2], spread
 
 
 def _build(vectors, config, **kw):
-    import jax
-
     from pgvectorscale_tpu import DiskannIndex
+    from pgvectorscale_tpu.utils.sync import device_sync
 
     t0 = time.perf_counter()
     index = DiskannIndex.build(vectors, config, **kw)
-    jax.block_until_ready(index.arrays.adjacency)
+    # block_until_ready is a no-op on the tunneled axon platform;
+    # device_sync pulls one element so the timer stops at execution, not
+    # dispatch.
+    device_sync(index.arrays.adjacency)
     build_s = time.perf_counter() - t0
     _emit(
         {
@@ -215,10 +227,10 @@ def run_sift1m(n, q):
     ]:
         params = QueryParams(search_list_size=L, rescore=resc, expand=e,
                              window_strategy=strat, visit_factor=vf)
-        ids, qps = _timed_search(index, queries, k, params)
+        ids, qps, spread = _timed_search(index, queries, k, params)
         _emit({"L": L, "rescore": resc, "expand": e, "strategy": strat,
                "visit_factor": vf, "qps": round(qps, 1),
-               "recall": round(_recall(gt, ids), 4)})
+               "recall": round(_recall(gt, ids), 4), **spread})
 
 
 def run_glove(n, q):
@@ -241,10 +253,10 @@ def run_glove(n, q):
     ]:
         params = QueryParams(search_list_size=L, rescore=resc, expand=e,
                              window_strategy=strat)
-        ids, qps = _timed_search(index, queries, k, params)
+        ids, qps, spread = _timed_search(index, queries, k, params)
         _emit({"L": L, "rescore": resc, "expand": e, "strategy": strat,
                "qps": round(qps, 1),
-               "recall": round(_recall(gt, ids), 4)})
+               "recall": round(_recall(gt, ids), 4), **spread})
 
 
 def run_filtered(n, q):
@@ -325,13 +337,27 @@ def run_filtered(n, q):
             )
         cases.append((n_query_labels, qlabels, np.concatenate(gt_parts, 0)))
     del dv, dq  # free the f32 corpus copy before the cache materializes
+    sweep = [
+        QueryParams(search_list_size=150, rescore=300, expand=2),
+        QueryParams(search_list_size=300, rescore=600, expand=2),
+        QueryParams(search_list_size=300, rescore=1500, expand=2,
+                    window_strategy="beam"),
+        QueryParams(search_list_size=300, rescore=600, expand=2,
+                    visit_factor=2.0),
+        QueryParams(search_list_size=500, rescore=1500, expand=2,
+                    window_strategy="beam", visit_factor=2.0),
+    ]
     for n_query_labels, qlabels, gt in cases:
-        params = QueryParams(search_list_size=150, rescore=300, expand=2)
-        ids, qps = _timed_search(
-            index, queries, k, params, query_labels=qlabels
-        )
-        _emit({"config": f"filtered-{n_query_labels}label",
-               "qps": round(qps, 1), "recall": round(_recall(gt, ids), 4)})
+        for params in sweep:
+            ids, qps, spread = _timed_search(
+                index, queries, k, params, query_labels=qlabels
+            )
+            _emit({"config": f"filtered-{n_query_labels}label",
+                   "L": params.search_list_size, "rescore": params.rescore,
+                   "strategy": params.window_strategy,
+                   "visit_factor": params.visit_factor,
+                   "qps": round(qps, 1),
+                   "recall": round(_recall(gt, ids), 4), **spread})
 
 
 def run_streaming(n, q):
@@ -354,6 +380,8 @@ def run_streaming(n, q):
     index = _build(vectors[:n0], config)
     params = QueryParams(search_list_size=150, rescore=300, expand=2)
 
+    from pgvectorscale_tpu.utils.sync import device_sync
+
     batch = max(1024, n // 64)
     ins_times, q_times = [], []
     done = n0
@@ -361,6 +389,10 @@ def run_streaming(n, q):
         take = min(batch, n - done)
         t0 = time.perf_counter()
         index.add(vectors[done : done + take])
+        # Sync between the phases: without it the queued add work is
+        # charged to the following search (dispatch is async end-to-end on
+        # the tunneled platform and block_until_ready is a no-op there).
+        device_sync(index.arrays.adjacency)
         ins_times.append((take, time.perf_counter() - t0))
         t0 = time.perf_counter()
         index.search(queries, k=k, params=params)
@@ -368,22 +400,28 @@ def run_streaming(n, q):
         done += take
     ins_rows = sum(t[0] for t in ins_times)
     ins_secs = sum(t[1] for t in ins_times)
+    per_batch = sorted(t[1] for t in ins_times)
     _emit({"phase": "stream-insert",
            "rows": ins_rows,
+           "batches": len(ins_times),
            "inserts_per_sec": round(ins_rows / ins_secs, 1),
+           "batch_seconds_min": round(per_batch[0], 2),
+           "batch_seconds_median": round(per_batch[len(per_batch) // 2], 2),
+           "batch_seconds_max": round(per_batch[-1], 2),
            "interleaved_qps": round(
                q * len(q_times) / sum(q_times), 1)})
 
     gt = _ground_truth(vectors, queries, k, DistanceType.COSINE)
-    ids, qps = _timed_search(index, queries, k, params)
+    ids, qps, spread = _timed_search(index, queries, k, params)
     _emit({"phase": "post-stream", "qps": round(qps, 1),
-           "recall": round(_recall(gt, ids), 4)})
+           "recall": round(_recall(gt, ids), 4), **spread})
 
     # Delete 5%, verify deleted rows never surface.
     rng = np.random.default_rng(3)
     dead = rng.choice(n, size=n // 20, replace=False).astype(np.int64)
     t0 = time.perf_counter()
     index.delete_external(dead)
+    device_sync(index.arrays.deleted)
     del_s = time.perf_counter() - t0
     ids, _ = index.search(queries, k=k, params=params)
     leaked = len(set(ids.ravel().tolist()) & set(dead.tolist()))
