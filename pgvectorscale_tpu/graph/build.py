@@ -82,6 +82,44 @@ def _edge_codes_scan(codes: jax.Array, adjacency: jax.Array) -> jax.Array:
     out, _ = lax.scan(body, out, starts)
     return out
 
+@jax.jit
+def _edge_codes_onepass(codes: jax.Array, adjacency: jax.Array) -> jax.Array:
+    cap = adjacency.shape[0]
+    return codes[jnp.maximum(adjacency, 0)].reshape(cap, -1)
+
+
+_edge_codes_scan_jit = jax.jit(_edge_codes_scan)
+
+
+def build_wave_cache(arrays: GraphArrays) -> Optional[jax.Array]:
+    """Snapshot neighbor-code cache u32[cap, R*W] for build traversal.
+
+    The wave step used to rebuild this cache inside EVERY dispatch — at 1M
+    rows that is ~2.6 GB of HBM writes per 4096-row wave, ~30% of build
+    time.  Wave drivers now build it here every few waves and pass it (with
+    the matching adjacency snapshot) into the wave step; traversal runs
+    against the consistent snapshot while writes land in the live
+    adjacency — the same search-a-snapshot semantics the lockstep sharded
+    build already uses.  Gating mirrors the in-jit path: padded-HBM bytes
+    decide one-pass gather vs scan-chunked vs no cache."""
+    cap, r = arrays.adjacency.shape
+    w = arrays.codes.shape[1]
+    if w == 0:
+        return None
+    w_padded = -(-w // 128) * 128
+    if cap * r * w_padded * 4 <= BUILD_CACHE_ONEPASS_MAX_BYTES:
+        return _edge_codes_onepass(arrays.codes, arrays.adjacency)
+    if cap * (-(-(r * w) // 128) * 128) * 4 <= BUILD_CACHE_FLAT_MAX_BYTES:
+        return _edge_codes_scan_jit(arrays.codes, arrays.adjacency)
+    return None
+
+
+# Refresh cadence for the snapshot cache: J waves of staleness means the
+# last J*wave rows are invisible as traversal HOPS (they still receive
+# backlinks, and exact-prune re-scores all candidates full-precision), in
+# exchange for 1/J of the cache-rebuild traffic.
+BUILD_CACHE_REFRESH_WAVES = 4
+
 # How many overflowing rows one re-prune batch handles (finalize path).
 PRUNE_BATCH = 8192
 # Build-time neighbor-code cache gates (see _wave_step_jit): a cache whose
@@ -323,6 +361,8 @@ def insert_wave(
     n_existing: Optional[int] = None,
     prefix_rows: Optional[int] = None,
     include_existing: bool = False,
+    snap_adjacency: Optional[jax.Array] = None,
+    snap_edge_codes: Optional[jax.Array] = None,
 ) -> GraphArrays:
     """Insert a wave of already-stored nodes into the graph — ONE fused
     device step (search/brute candidates + prune + adjacency write +
@@ -345,6 +385,12 @@ def insert_wave(
     ``include_existing``: merge each node's current neighbors into the
     candidate set — used by refinement passes, where every node re-inserts
     against the finished graph and must not lose good existing edges.
+
+    ``snap_adjacency`` / ``snap_edge_codes``: a consistent (adjacency,
+    neighbor-code cache) snapshot from ``build_wave_cache`` — traversal
+    runs against the snapshot (skipping the per-dispatch cache rebuild)
+    while prune/backlink writes land in the live adjacency.  Both must
+    come from the same arrays version.
     """
     config = ctx.config
     b = len(node_ids_np)
@@ -366,6 +412,20 @@ def insert_wave(
         arrays,
         jnp.asarray(node_ids_np, dtype=jnp.int32),
         jnp.asarray(prefix, dtype=jnp.int32),
+        snap_adjacency=(
+            None
+            if brute
+            or snap_edge_codes is None
+            or not config.build_traversal_uses_codes
+            else snap_adjacency
+        ),
+        snap_edge_codes=(
+            None
+            if brute
+            or snap_adjacency is None
+            or not config.build_traversal_uses_codes
+            else snap_edge_codes
+        ),
         search_list_size=l,
         max_iters=_build_max_iters(l),
         brute=brute,
@@ -404,6 +464,8 @@ def _wave_step_jit(
     arrays: GraphArrays,
     node_ids: jax.Array,  # i32[B], INVALID_ID padded
     prefix: jax.Array,  # i32 scalar — rows < prefix may be candidates
+    snap_adjacency: Optional[jax.Array] = None,  # i32[cap, R] snapshot
+    snap_edge_codes: Optional[jax.Array] = None,  # u32[cap, R*W] snapshot
     *,
     search_list_size: int,
     max_iters: int,
@@ -478,7 +540,13 @@ def _wave_step_jit(
         w_padded = -(-w // 128) * 128
         onepass_bytes = cap * r * w_padded * 4
         flat_bytes = cap * (-(-(r * w) // 128) * 128) * 4
-        if use_codes and onepass_bytes <= gather_onepass_max:
+        search_arrays = arrays
+        if snap_edge_codes is not None:
+            # Driver-provided consistent snapshot (build_wave_cache):
+            # traverse it instead of rebuilding the cache per dispatch.
+            edge_codes = snap_edge_codes
+            search_arrays = arrays._replace(adjacency=snap_adjacency)
+        elif use_codes and onepass_bytes <= gather_onepass_max:
             edge_codes = arrays.codes[
                 jnp.maximum(arrays.adjacency, 0)
             ].reshape(cap, -1)
@@ -490,7 +558,7 @@ def _wave_step_jit(
             arrays.default_start[None, None], (b, 1)
         ).astype(jnp.int32)
         res = beam_search(
-            arrays,
+            search_arrays,
             query_vecs,
             query_codes,
             jnp.zeros((b, 0), jnp.int32),
@@ -516,7 +584,7 @@ def _wave_step_jit(
             # graph/mod.rs:652-660).
             label_starts = get_start_ids(arrays, node_labels, b)
             res_f = beam_search(
-                arrays,
+                search_arrays,
                 query_vecs,
                 query_codes,
                 node_labels,
@@ -1087,7 +1155,24 @@ def repair_orphans_device(arrays: GraphArrays) -> GraphArrays:
     return arrays._replace(adjacency=adj)
 
 
-def repair_orphans(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
+# One-dispatch, zero-pull repair for the streaming-add hot path: when the
+# graph is already fully reachable (the common case) the while_loop's
+# condition is false on entry and the whole call costs ONE reachability
+# BFS on device — no host transfer at all.  Profiling showed the eager
+# repair_orphans path spent ~1.6 s per add() in device->host scalar pulls
+# (count / default_start / orphan-sum at ~0.4 s each over the tunneled
+# link) against ~ms of actual BFS compute.  DiskannIndex.add() re-verifies
+# with the pulled/host-fallback path every K batches.
+repair_orphans_device_jit = jax.jit(repair_orphans_device)
+
+
+def repair_orphans(
+    arrays: GraphArrays,
+    ctx: BuildContext,
+    *,
+    n: Optional[int] = None,
+    start: Optional[int] = None,
+) -> GraphArrays:
     """Guarantee every node is reachable from the default start node.
 
     Batched insertion can orphan a node when every row it linked to prunes
@@ -1096,11 +1181,16 @@ def repair_orphans(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
     assert full reachability).  We repair instead: each unreachable node u
     gets a forced edge from a reachable node (preferring u's own nearest
     forward neighbor, so the detour stays short), iterating until the BFS
-    covers the graph."""
-    n = int(arrays.count)
+    covers the graph.
+
+    ``n`` / ``start`` let callers that already know the host values skip
+    the two device-scalar pulls (~0.4 s each on tunneled TPUs)."""
+    if n is None:
+        n = int(arrays.count)
     if n == 0:
         return arrays
-    start = int(arrays.default_start)
+    if start is None:
+        start = int(arrays.default_start)
     if start < 0:
         return arrays
 

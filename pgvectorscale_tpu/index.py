@@ -44,7 +44,14 @@ from .config import (
     StorageLayout,
 )
 from .distance import preprocess_cosine
-from .graph.build import BuildContext, finalize, insert_wave
+from .graph.build import (
+    BRUTE_CANDIDATE_THRESHOLD,
+    BUILD_CACHE_REFRESH_WAVES,
+    BuildContext,
+    build_wave_cache,
+    finalize,
+    insert_wave,
+)
 from .graph.search import beam_search, get_start_ids
 from .labels import LABEL_SENTINEL, make_label_array, overlaps
 from .ops import sbq
@@ -300,6 +307,18 @@ class DiskannIndex:
         # are O(1) and concurrent readers can never pair a cache with the
         # wrong arrays snapshot (single-writer/snapshot-reader model).
         self._edge_codes = None
+        # Host mirrors of the two device scalars the mutation paths read
+        # (count, default_start), keyed by tensor identity like the edge
+        # cache: each is (tensor_ref, int).  A device-scalar pull costs
+        # ~0.4 s over the tunneled link — profiling showed add() spending
+        # >2 s/batch in these pulls alone.  Mutating methods pin the known
+        # value; a stale ref (arrays replaced behind our back) falls back
+        # to one pull.
+        self._count_mirror = None
+        self._start_mirror = None
+        # Adds since the last pulled orphan-repair verification (the hot
+        # path repairs device-side without reading back the orphan count).
+        self._adds_since_repair_check = 0
 
     @property
     def last_search_stats(self):
@@ -318,7 +337,27 @@ class DiskannIndex:
     @property
     def count(self) -> int:
         """Total slots used (including tombstoned rows)."""
-        return int(self.arrays.count)
+        m = self._count_mirror
+        if m is None or m[0] is not self.arrays.count:
+            m = (self.arrays.count, int(self.arrays.count))
+            self._count_mirror = m
+        return m[1]
+
+    @property
+    def _default_start_host(self) -> int:
+        """Host value of arrays.default_start (identity-keyed mirror)."""
+        m = self._start_mirror
+        if m is None or m[0] is not self.arrays.default_start:
+            m = (self.arrays.default_start, int(self.arrays.default_start))
+            self._start_mirror = m
+        return m[1]
+
+    def _pin_mirrors(self, count: int, start: int) -> None:
+        """Record known host values for the device scalars so later reads
+        never pull.  Call AFTER the final ``self.arrays`` assignment of a
+        mutating method (jit outputs are fresh tensor objects)."""
+        self._count_mirror = (self.arrays.count, count)
+        self._start_mirror = (self.arrays.default_start, start)
 
     @property
     def num_deleted(self) -> int:
@@ -445,6 +484,7 @@ class DiskannIndex:
             config.bits_per_dimension if config.uses_sbq else 0,
         )
         index = cls(config, arrays, stats, external_ids)
+        index._pin_mirrors(n, INVALID_ID)
         write_stats = WriteStats()
         index._ctx.stats = write_stats  # wave/prune dispatch counters
         if n > 0:
@@ -463,6 +503,7 @@ class DiskannIndex:
                 progress_callback=progress_callback,
             )
             write_stats.insert_s = _time.perf_counter() - t_ins
+            start_host = index._default_start_host  # pinned by the insert
             if progress_callback:
                 progress_callback("finalizing graph", 0, n)
             t_fin = _time.perf_counter()
@@ -475,6 +516,7 @@ class DiskannIndex:
                 index._refine_pass()
                 index.arrays = finalize(index.arrays, index._ctx)
             write_stats.finalize_s = _time.perf_counter() - t_fin
+            index._pin_mirrors(n, start_host)
             if progress_callback:
                 progress_callback("finalizing graph", n, n)
         write_stats.num_nodes = n
@@ -504,16 +546,24 @@ class DiskannIndex:
         """
         arrays = self.arrays
         pos = 0
-        if int(arrays.default_start) == INVALID_ID and len(ids) > 0:
+        start_host = self._default_start_host
+        if start_host == INVALID_ID and len(ids) > 0:
             # First vector becomes the default start node
             # (update_start_nodes, graph/mod.rs:490-533).
+            start_host = int(ids[0])
             arrays = arrays._replace(
-                default_start=jnp.asarray(int(ids[0]), dtype=jnp.int32)
+                default_start=jnp.asarray(start_host, dtype=jnp.int32)
             )
             pos = 1
         remaining = ids[pos:]
         done = 0
         bucket = initial_wave
+        # Snapshot neighbor-code cache for beam-path waves, refreshed every
+        # BUILD_CACHE_REFRESH_WAVES waves (build_wave_cache docstring): the
+        # per-dispatch in-jit rebuild was ~30% of 1M-build HBM traffic.
+        snap_adj = snap_cache = None
+        waves_since_snap = 0
+        use_snap = self.config.build_traversal_uses_codes
         while done < len(remaining):
             take = min(bucket, len(remaining) - done)
             wave = remaining[done : done + take]
@@ -524,6 +574,18 @@ class DiskannIndex:
                 wave = np.concatenate(
                     [wave, np.full(bucket - take, INVALID_ID, np.int32)]
                 )
+            prefix_est = self.count if full_graph else int(wave[0])
+            if (
+                use_snap
+                and prefix_est > BRUTE_CANDIDATE_THRESHOLD
+                and (
+                    snap_cache is None
+                    or waves_since_snap >= BUILD_CACHE_REFRESH_WAVES
+                )
+            ):
+                snap_adj = arrays.adjacency
+                snap_cache = build_wave_cache(arrays)
+                waves_since_snap = 0
             # Contiguous-id inserts: everything below the wave's first id
             # is already in the graph (prefix semantics).
             if full_graph:
@@ -531,7 +593,9 @@ class DiskannIndex:
                     arrays,
                     self._ctx,
                     wave,
-                    prefix_rows=int(self.count),
+                    prefix_rows=self.count,
+                    snap_adjacency=snap_adj,
+                    snap_edge_codes=snap_cache,
                 )
             else:
                 arrays = insert_wave(
@@ -539,35 +603,55 @@ class DiskannIndex:
                     self._ctx,
                     wave,
                     n_existing=int(wave[0]),
+                    snap_adjacency=snap_adj,
+                    snap_edge_codes=snap_cache,
                 )
+            waves_since_snap += 1
             done += take
             bucket = min(bucket * 2, max_wave)
             if progress_callback:
                 progress_callback(
                     "inserting tuples", done + pos, len(ids)
                 )
+        count_host = self.count  # mirror read BEFORE the ref changes
         self.arrays = arrays
+        self._pin_mirrors(count_host, start_host)
 
     def _refine_pass(self, wave: int = 4096) -> None:
         """One refinement sweep: every node re-searches the current graph
         and re-prunes with candidates = search results ∪ current
         neighbors."""
         n = self.count
+        start_host = self._default_start_host
         arrays = self.arrays
+        snap_adj = snap_cache = None
+        waves_since_snap = 0
+        use_snap = self.config.build_traversal_uses_codes
         for off in range(0, n, wave):
             ids = np.arange(off, min(off + wave, n), dtype=np.int32)
             if len(ids) < wave:
                 ids = np.concatenate(
                     [ids, np.full(wave - len(ids), INVALID_ID, np.int32)]
                 )
+            if use_snap and (
+                snap_cache is None
+                or waves_since_snap >= BUILD_CACHE_REFRESH_WAVES
+            ):
+                snap_adj = arrays.adjacency
+                snap_cache = build_wave_cache(arrays)
+                waves_since_snap = 0
             arrays = insert_wave(
                 arrays,
                 self._ctx,
                 ids,
                 n_existing=None,  # beam path against the full graph
                 include_existing=True,
+                snap_adjacency=snap_adj,
+                snap_edge_codes=snap_cache,
             )
+            waves_since_snap += 1
         self.arrays = arrays
+        self._pin_mirrors(n, start_host)
 
     # ------------------------------------------------------------------
     # Insert (aminsert analog)
@@ -620,6 +704,7 @@ class DiskannIndex:
         )
 
         n0 = self.count
+        start_host = self._default_start_host  # mirror read pre-mutation
         # --- tombstone slot reuse (the in-place side of vacuum,
         # vacuum.rs:24-157): deleted rows are recycled before the store
         # grows, so N adds + N deletes leave capacity flat.  The reused
@@ -705,6 +790,7 @@ class DiskannIndex:
                 )
 
         self.arrays = arrays
+        self._pin_mirrors(needed, start_host)
         # Host mirrors commit only now, after the device arrays are
         # published — an exception anywhere above leaves both sides at the
         # pre-add snapshot.
@@ -742,9 +828,24 @@ class DiskannIndex:
             )
         if fresh:
             self._insert_ids_into_graph(fresh_ids, initial_wave=add_bucket)
-        from .graph.build import repair_orphans
+        from .graph.build import repair_orphans, repair_orphans_device_jit
 
-        self.arrays = repair_orphans(self.arrays, self._ctx)
+        # Hot path: one-dispatch device repair, NO host readback (the
+        # pulled orphan-count check alone cost ~1.2 s/add over the
+        # tunneled link).  A clean graph costs one on-device BFS; orphans
+        # get the same iterated attach the verified path runs.  Every K
+        # adds the verified path re-checks with a real pull and falls back
+        # to the host/native repair if the 32-round device loop ever left
+        # an island (never observed; reachability is test-enforced).
+        start_host = self._default_start_host  # mirror still pinned here
+        self.arrays = repair_orphans_device_jit(self.arrays)
+        self._adds_since_repair_check += 1
+        if self._adds_since_repair_check >= 64:
+            self._adds_since_repair_check = 0
+            self.arrays = repair_orphans(
+                self.arrays, self._ctx, n=needed, start=start_host
+            )
+        self._pin_mirrors(needed, start_host)
         # No cache invalidation needed: the edge-code cache is keyed by
         # tensor identity and the adjacency tensor just changed.
         return np.concatenate([reuse_rows, fresh_ids])
@@ -1109,6 +1210,7 @@ class DiskannIndex:
             )
             index = cls(config, arrays, stats, z["external_ids"].copy())
             index._deleted_np[:n] = z["deleted"]
+            index._pin_mirrors(n, int(z["default_start"]))
             return index
 
 
