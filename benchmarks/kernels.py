@@ -224,6 +224,37 @@ def bench_edgecache():
         }
     )
 
+    # Gather-fused Pallas kernel vs the XLA cached path: XLA's row gather
+    # serializes ~2 KB DMAs (~20 GB/s effective); the kernel issues a grid
+    # step's worth back-to-back and reduces on the MXU.
+    try:
+        from pgvectorscale_tpu.ops.pallas_hamming import (
+            hamming_edge_gather_pallas,
+        )
+
+        def fused(i, edge_codes, sel, qcodes):
+            s = (sel + i) % cap
+            d = hamming_edge_gather_pallas(
+                edge_codes, s, qcodes, r_max=r, interpret=False
+            )
+            return jnp.sum(d)
+
+        t_fused = _time(fused, edge_codes, sel, qcodes)
+        row_bytes = q * e * r * w * 4
+        _emit(
+            {
+                "bench": "edge-code-reads-pallas-fused",
+                "shape": f"cap={cap} q={q} e={e} r={r} {w * 32}bit",
+                "fused_ms": round(t_fused * 1e3, 3),
+                "fused_vs_xla_cached": round(t_cache / t_fused, 2),
+                "fused_row_gb_per_s": round(row_bytes / t_fused / 1e9, 1),
+                "xla_row_gb_per_s": round(row_bytes / t_cache / 1e9, 1),
+            }
+        )
+    except Exception as err:  # Mosaic lowering may be unsupported off-TPU
+        _emit({"bench": "edge-code-reads-pallas-fused",
+               "skipped": str(err)[:160]})
+
 
 def bench_beammerge():
     import jax.numpy as jnp

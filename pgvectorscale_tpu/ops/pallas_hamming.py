@@ -94,3 +94,159 @@ def hamming_matrix(query_codes: jax.Array, codes: jax.Array) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, interpreter elsewhere (tests)."""
     on_tpu = jax.default_backend() == "tpu"
     return hamming_matrix_pallas(query_codes, codes, interpret=not on_tpu)
+
+
+# ---------------------------------------------------------------------------
+# Gather-fused edge-code Hamming (the beam-step inner loop).
+#
+# The beam search's hot read is `edge_codes[sel]` — Q*E rows of R*W packed
+# u32 words (~2 KB each) scattered across a [cap, R*W] HBM tensor — XORed
+# against the per-query code and popcount-reduced per neighbor
+# (graph/search.py beam_search body; reference analog: the per-neighbor
+# quantized-distance loop in sbq/mod.rs:139-159).  XLA lowers the gather to
+# one serial DMA per row, which measures at ~20 GB/s effective on v5e
+# (results/kernels.jsonl edge-code-reads) — 40x under the HBM ceiling,
+# latency-bound on 2 KB transfers.
+#
+# This kernel fuses the gather into the compute: each grid step issues
+# TILE_GQ*E row DMAs back-to-back (hundreds in flight, hiding per-DMA
+# latency), waits once, then does XOR+popcount on the VPU and reduces the
+# W words of each neighbor code with ONE MXU matmul against a 0/1
+# segment-sum matrix — so the reduction is free alongside the bandwidth-
+# bound load.
+# ---------------------------------------------------------------------------
+
+TILE_GQ = 128  # queries per grid step
+_SEG_OUT = 128  # MXU-friendly output lane width per frontier slot
+
+
+def _edge_gather_kernel(
+    sel_ref,  # SMEM i32[nq_tiles * E * TILE_GQ] (scalar prefetch)
+    qtile_ref,  # VMEM u32[TILE_GQ, RWp] query codes tiled to R neighbors
+    seg_ref,  # VMEM f32[RWp, _SEG_OUT] 0/1 word->neighbor segment matrix
+    ec_ref,  # ANY  u32[cap, RW] edge-code cache rows (stays in HBM)
+    out_ref,  # VMEM f32[TILE_GQ, E * _SEG_OUT]
+    scratch_ref,  # VMEM u32[E * TILE_GQ, RWp]
+    sem_ref,  # DMA semaphores [E * TILE_GQ]
+    *,
+    e: int,
+    rw: int,
+):
+    i = pl.program_id(0)
+    base = i * (e * TILE_GQ)
+    rows = e * TILE_GQ
+
+    def copy(j):
+        row = sel_ref[base + j]
+        return pltpu.make_async_copy(
+            ec_ref.at[pl.ds(row, 1), :],
+            scratch_ref.at[pl.ds(j, 1), pl.ds(0, rw)],
+            sem_ref.at[j],
+        )
+
+    # Issue every row DMA before waiting on any: the win over the XLA
+    # gather is exactly this queue depth (row transfers overlap instead of
+    # serializing on per-DMA latency).
+    for j in range(rows):
+        copy(j).start()
+    for j in range(rows):
+        copy(j).wait()
+
+    q = qtile_ref[:]  # [TILE_GQ, RWp]
+    seg = seg_ref[:]  # [RWp, _SEG_OUT]
+    for ei in range(e):
+        blk = scratch_ref[ei * TILE_GQ : (ei + 1) * TILE_GQ, :]
+        x = jnp.bitwise_xor(blk, q)
+        pops = lax.population_count(x).astype(jnp.float32)
+        # Segment-sum the W words of each neighbor code on the MXU: the
+        # stale lanes beyond rw hit all-zero seg rows, so scratch reuse
+        # across grid steps needs no zeroing.
+        out_ref[:, ei * _SEG_OUT : (ei + 1) * _SEG_OUT] = jnp.dot(
+            pops, seg, preferred_element_type=jnp.float32
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r_max", "interpret")
+)
+def hamming_edge_gather_pallas(
+    edge_codes: jax.Array,  # u32[cap, R*W] flat edge-code cache
+    sel: jax.Array,  # i32[Q, E] frontier node ids (callers clamp >= 0)
+    query_codes: jax.Array,  # u32[Q, W]
+    *,
+    r_max: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused gather+XOR+popcount+reduce: f32[Q, E*R] neighbor distances.
+
+    Matches the XLA cached-path semantics in graph/search.py (beam_search
+    body): result[q, e*R + r] = popcount(edge_codes[sel[q, e], r*W:(r+1)*W]
+    ^ query_codes[q])."""
+    q, e = sel.shape
+    w = query_codes.shape[1]
+    rw = r_max * w
+    assert edge_codes.shape[1] == rw
+    assert r_max <= _SEG_OUT
+    rwp = -(-rw // 128) * 128
+
+    q_pad = -q % TILE_GQ
+    qp = q + q_pad
+    nq_tiles = qp // TILE_GQ
+
+    # sel rearranged to DMA order: step i, slot j = ei*TILE_GQ + t reads
+    # the row for query (i*TILE_GQ + t), frontier ei.
+    sel_p = jnp.pad(sel, ((0, q_pad), (0, 0)))
+    sel_pre = (
+        sel_p.reshape(nq_tiles, TILE_GQ, e)
+        .transpose(0, 2, 1)
+        .reshape(nq_tiles * e * TILE_GQ)
+    )
+
+    qtile = jnp.pad(
+        jnp.tile(query_codes, (1, r_max)), ((0, q_pad), (0, rwp - rw))
+    )
+
+    # 0/1 segment matrix: word r*W + w contributes to neighbor r.
+    word_idx = jnp.arange(rwp) // w
+    seg = (
+        (word_idx[:, None] == jnp.arange(_SEG_OUT)[None, :])
+        & (jnp.arange(rwp)[:, None] < rw)
+    ).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_edge_gather_kernel, e=e, rw=rw),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nq_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    (TILE_GQ, rwp), lambda i, sel: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (rwp, _SEG_OUT), lambda i, sel: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE_GQ, e * _SEG_OUT), lambda i, sel: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((e * TILE_GQ, rwp), jnp.uint32),
+                pltpu.SemaphoreType.DMA((e * TILE_GQ,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((qp, e * _SEG_OUT), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * e * rwp * _SEG_OUT,
+            bytes_accessed=(qp * e * rw + qp * rwp + qp * e * _SEG_OUT) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(sel_pre, qtile, seg, edge_codes)
+
+    return out.reshape(qp, e, _SEG_OUT)[:q, :, :r_max].reshape(
+        q, e * r_max
+    )

@@ -24,3 +24,42 @@ def test_pallas_hamming_matches_xla(rng, q, n, w):
     expected = np.asarray(hamming_distance_matrix(qc, cc))
     got = np.asarray(hamming_matrix_pallas(qc, cc, interpret=True))
     np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize(
+    "q,e,r,w", [(8, 1, 3, 1), (100, 2, 65, 8), (130, 4, 17, 8)]
+)
+def test_pallas_edge_gather_matches_xla(rng, q, e, r, w):
+    """The gather-fused kernel agrees with the beam-search cached path
+    (graph/search.py: edge_codes gather + tiled-query XOR + popcount sum)."""
+    from pgvectorscale_tpu.ops.pallas_hamming import (
+        hamming_edge_gather_pallas,
+    )
+
+    cap = 500
+    edge_codes = jnp.asarray(
+        rng.integers(0, 2**32, size=(cap, r * w), dtype=np.uint32)
+    )
+    sel = jnp.asarray(rng.integers(0, cap, size=(q, e), dtype=np.int32))
+    qc = jnp.asarray(rng.integers(0, 2**32, size=(q, w), dtype=np.uint32))
+
+    # XLA reference formulation (the production cached path).
+    import jax.lax as lax
+
+    ec = edge_codes[sel]  # [Q, E, R*W]
+    qtile = jnp.tile(qc, (1, r))
+    x = jnp.bitwise_xor(ec, qtile[:, None, :])
+
+    expected = np.asarray(
+        jnp.sum(
+            lax.population_count(x).astype(jnp.int32).reshape(q, e, r, w),
+            axis=-1,
+        ).reshape(q, e * r)
+    ).astype(np.float32)
+
+    got = np.asarray(
+        hamming_edge_gather_pallas(
+            edge_codes, sel, qc, r_max=r, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, expected)
