@@ -260,6 +260,12 @@ def main():
         QueryParams(search_list_size=150, rescore=300, expand=1),
         QueryParams(search_list_size=200, rescore=1500, expand=2,
                     window_strategy="beam"),
+        # "scored" probe for a faster >=0.99 point: at L=200 it measured
+        # 2,242 QPS @ 0.9890 vs beam's 1,957 @ 0.9931
+        # (results/bench_verification_r4.json) — slightly more beam may
+        # cross the gate at higher QPS than "beam" does.
+        QueryParams(search_list_size=240, rescore=1500, expand=2,
+                    window_strategy="scored"),
         QueryParams(search_list_size=130, rescore=250, expand=1),
         QueryParams(search_list_size=120, rescore=220, expand=1),
         QueryParams(search_list_size=200, rescore=1500, expand=2,
