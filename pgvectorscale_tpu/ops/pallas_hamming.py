@@ -117,20 +117,20 @@ def hamming_matrix(query_codes: jax.Array, codes: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 TILE_GQ = 128  # queries per grid step
-_SEG_OUT = 128  # MXU-friendly output lane width per frontier slot
 
 
 def _edge_gather_kernel(
     sel_ref,  # SMEM i32[nq_tiles * E * TILE_GQ] (scalar prefetch)
     qtile_ref,  # VMEM u32[TILE_GQ, RWp] query codes tiled to R neighbors
-    seg_ref,  # VMEM f32[RWp, _SEG_OUT] 0/1 word->neighbor segment matrix
+    seg_ref,  # VMEM f32[RWp, seg_out] 0/1 word->neighbor segment matrix
     ec_ref,  # ANY  u32[cap, RW] edge-code cache rows (stays in HBM)
-    out_ref,  # VMEM f32[TILE_GQ, E * _SEG_OUT]
+    out_ref,  # VMEM f32[TILE_GQ, E * seg_out]
     scratch_ref,  # VMEM u32[E * TILE_GQ, RWp]
     sem_ref,  # DMA semaphores [E * TILE_GQ]
     *,
     e: int,
     rw: int,
+    seg_out: int,
 ):
     i = pl.program_id(0)
     base = i * (e * TILE_GQ)
@@ -153,7 +153,7 @@ def _edge_gather_kernel(
         copy(j).wait()
 
     q = qtile_ref[:]  # [TILE_GQ, RWp]
-    seg = seg_ref[:]  # [RWp, _SEG_OUT]
+    seg = seg_ref[:]  # [RWp, seg_out]
     for ei in range(e):
         blk = scratch_ref[ei * TILE_GQ : (ei + 1) * TILE_GQ, :]
         x = jnp.bitwise_xor(blk, q)
@@ -161,7 +161,7 @@ def _edge_gather_kernel(
         # Segment-sum the W words of each neighbor code on the MXU: the
         # stale lanes beyond rw hit all-zero seg rows, so scratch reuse
         # across grid steps needs no zeroing.
-        out_ref[:, ei * _SEG_OUT : (ei + 1) * _SEG_OUT] = jnp.dot(
+        out_ref[:, ei * seg_out : (ei + 1) * seg_out] = jnp.dot(
             pops, seg, preferred_element_type=jnp.float32
         )
 
@@ -186,7 +186,7 @@ def hamming_edge_gather_pallas(
     w = query_codes.shape[1]
     rw = r_max * w
     assert edge_codes.shape[1] == rw
-    assert r_max <= _SEG_OUT
+    seg_out = -(-r_max // 128) * 128
     rwp = -(-rw // 128) * 128
 
     q_pad = -q % TILE_GQ
@@ -209,12 +209,12 @@ def hamming_edge_gather_pallas(
     # 0/1 segment matrix: word r*W + w contributes to neighbor r.
     word_idx = jnp.arange(rwp) // w
     seg = (
-        (word_idx[:, None] == jnp.arange(_SEG_OUT)[None, :])
+        (word_idx[:, None] == jnp.arange(seg_out)[None, :])
         & (jnp.arange(rwp)[:, None] < rw)
     ).astype(jnp.float32)
 
     out = pl.pallas_call(
-        functools.partial(_edge_gather_kernel, e=e, rw=rw),
+        functools.partial(_edge_gather_kernel, e=e, rw=rw, seg_out=seg_out),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nq_tiles,),
@@ -224,13 +224,13 @@ def hamming_edge_gather_pallas(
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (rwp, _SEG_OUT), lambda i, sel: (0, 0),
+                    (rwp, seg_out), lambda i, sel: (0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (TILE_GQ, e * _SEG_OUT), lambda i, sel: (i, 0),
+                (TILE_GQ, e * seg_out), lambda i, sel: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
@@ -238,15 +238,15 @@ def hamming_edge_gather_pallas(
                 pltpu.SemaphoreType.DMA((e * TILE_GQ,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((qp, e * _SEG_OUT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((qp, e * seg_out), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * qp * e * rwp * _SEG_OUT,
-            bytes_accessed=(qp * e * rw + qp * rwp + qp * e * _SEG_OUT) * 4,
+            flops=2 * qp * e * rwp * seg_out,
+            bytes_accessed=(qp * e * rw + qp * rwp + qp * e * seg_out) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(sel_pre, qtile, seg, edge_codes)
 
-    return out.reshape(qp, e, _SEG_OUT)[:q, :, :r_max].reshape(
+    return out.reshape(qp, e, seg_out)[:q, :, :r_max].reshape(
         q, e * r_max
     )
