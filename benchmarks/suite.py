@@ -167,13 +167,17 @@ def _sbq_ceiling(index, queries, gt, rescores, chunk=256):
     m = max(rescores) + k
     arrays = index.arrays
 
+    # Vectors/scales are ARGUMENTS, not closure captures: captured device
+    # arrays become program constants, and a 1M x 128 f32 constant stalls
+    # the tunneled remote compile for tens of minutes (see CLAUDE.md; this
+    # exact bug ate a full suite run on 2026-08-19).
     @jax.jit
-    def topm_by_code(qc_chunk, qv_chunk, codes):
+    def topm_by_code(qc_chunk, qv_chunk, codes, vectors, vec_scales):
         d = hamming_distance_matrix(qc_chunk, codes).astype(jnp.float32)
         _, ids = jax.lax.top_k(-d, m)
-        vecs = store.dequant_rows(
-            arrays.vectors, arrays.vec_scales, ids
-        ).astype(jnp.float32)
+        vecs = store.dequant_rows(vectors, vec_scales, ids).astype(
+            jnp.float32
+        )
         if config.distance_type == DistanceType.L2:
             diff = vecs - qv_chunk[:, None, :]
             exact = jnp.sum(diff * diff, axis=-1)
@@ -190,8 +194,10 @@ def _sbq_ceiling(index, queries, gt, rescores, chunk=256):
     nq = qv.shape[0]
     out = {r: 0 for r in rescores}
     for i in range(0, nq, chunk):
+        print(f"[suite] ceiling chunk {i}/{nq}", file=sys.stderr, flush=True)
         ids, exact = topm_by_code(
-            qc[i : i + chunk], qv[i : i + chunk], arrays.codes
+            qc[i : i + chunk], qv[i : i + chunk], arrays.codes,
+            arrays.vectors, arrays.vec_scales,
         )
         ids, exact = np.asarray(ids), np.asarray(exact)
         for r in rescores:
@@ -210,11 +216,20 @@ def run_sift1m(n, q):
 
     k = 10
     vectors, queries = synthetic_corpus("sift", n, q, seed=42)
-    config = IndexConfig(num_dimensions=128, distance_type=DistanceType.L2)
+    # SUITE_BUILD_L widens the BUILD-time beam (candidate quality at 1M
+    # depth is the suspected graph-side recall loss — VERDICT r3 weak #3);
+    # the reference's default is 100 (meta_page.rs defaults).
+    build_l = int(os.environ.get("SUITE_BUILD_L", 100))
+    config = IndexConfig(
+        num_dimensions=128,
+        distance_type=DistanceType.L2,
+        search_list_size=build_l,
+    )
     assert config.bits_per_dimension == 2  # <900 dims -> 2-bit default
     refine = int(os.environ.get("SUITE_REFINE", 1))
     index = _build(vectors, config, refine_passes=refine)
     gt = _ground_truth(vectors, queries, k, DistanceType.L2)
+    print("[suite] ground truth ready", file=sys.stderr, flush=True)
     if os.environ.get("SUITE_CEILING", "1") == "1":
         _sbq_ceiling(index, queries, gt, [50, 300, 600, 1500])
     for L, resc, e, strat, vf in [

@@ -263,6 +263,7 @@ def get_start_ids(
         "expand_factor",
         "track_hist",
         "window_n",
+        "fused_gather",
     ),
 )
 def beam_search(
@@ -281,6 +282,7 @@ def beam_search(
     edge_codes: Optional[jax.Array] = None,  # u32[cap, R*W] flat
     track_hist: bool = True,
     window_n: int = 0,
+    fused_gather: bool = False,
 ) -> SearchResult:
     """Batched greedy beam search.
 
@@ -470,7 +472,19 @@ def beam_search(
         # the per-candidate 32-byte scattered gather of `codes[nbrs]` was
         # measured at ~60% of total search time on TPU (tiny rows use a
         # sliver of HBM bandwidth).
-        if use_codes and edge_codes is not None:
+        if use_codes and edge_codes is not None and fused_gather:
+            # Pallas kernel: the row gather rides hundreds of in-flight
+            # DMAs per grid step instead of XLA's serialized ~2 KB row
+            # transfers (ops/pallas_hamming.hamming_edge_gather_pallas).
+            from ..ops.pallas_hamming import hamming_edge_gather_pallas
+
+            cand_d_raw = hamming_edge_gather_pallas(
+                edge_codes,
+                jnp.maximum(sel_id, 0),
+                query_codes,
+                r_max=r_max,
+            )
+        elif use_codes and edge_codes is not None:
             # Cache rows are FLAT u32[R*W] (see _build_edge_codes: a
             # [R, W] minor pair would pad W up to 128 lanes, 2x HBM).
             w = query_codes.shape[1]

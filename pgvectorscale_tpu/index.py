@@ -943,6 +943,7 @@ class DiskannIndex:
             expand_factor=min(params.expand, l),
             expand_window_m=expand_window_m,
             window_n=window_n,
+            fused_gather=_fused_gather_enabled(),
         )
 
         # Keep the raw result on device; stats transfer only on access
@@ -1379,6 +1380,7 @@ class SearchIterator:
         "expand_factor",
         "expand_window_m",
         "window_n",
+        "fused_gather",
     ),
 )
 def _search_jit(
@@ -1398,6 +1400,7 @@ def _search_jit(
     expand_factor: int,
     expand_window_m: int = 0,
     window_n: int = 0,
+    fused_gather: bool = False,
 ):
     """Fused query path: normalize + encode + start nodes + beam search +
     tombstone/label filter + exact rescore + top-k — one device dispatch.
@@ -1438,6 +1441,7 @@ def _search_jit(
         edge_codes=edge_codes,
         track_hist=False,  # query path never reads the visit history
         window_n=window_n,
+        fused_gather=fused_gather,
     )
     cand_ids, cand_dists = res.beam_ids, res.beam_dists
     if window_n > 0:
@@ -1650,6 +1654,21 @@ def _query_max_iters(l: int, visit_factor: float = 1.0) -> int:
     import math
 
     return int(math.ceil(1.5 * l * visit_factor)) + 16
+
+
+def _fused_gather_enabled() -> bool:
+    """Gate for the Pallas gather-fused edge-code kernel on the query path
+    (graph/search.py beam_search ``fused_gather``).  Opt-in via
+    PGVS_TPU_FUSED_GATHER=1 (TPU only — the kernel needs Mosaic); the XLA
+    cached path stays the default pending an end-to-end QPS win
+    (results/kernels.jsonl edge-code-reads-pallas-fused is the kernel-level
+    receipt)."""
+    import os
+
+    env = os.environ.get("PGVS_TPU_FUSED_GATHER")
+    if env is not None:
+        return env == "1" and jax.default_backend() == "tpu"
+    return False
 
 
 def _register_label_starts_host(
