@@ -220,12 +220,17 @@ def run_sift1m(n, q):
     # depth is the suspected graph-side recall loss — VERDICT r3 weak #3);
     # the reference's default is 100 (meta_page.rs defaults).
     build_l = int(os.environ.get("SUITE_BUILD_L", 100))
+    # SUITE_BITS=4/8 opts into the TPU-only high-fidelity SBQ tiers (the
+    # 2-bit rescore ceiling caps 1M recall at 0.955 — sbq-ceiling rows).
+    bits = int(os.environ.get("SUITE_BITS", 0))
     config = IndexConfig(
         num_dimensions=128,
         distance_type=DistanceType.L2,
         search_list_size=build_l,
+        num_bits_per_dimension=bits,
     )
-    assert config.bits_per_dimension == 2  # <900 dims -> 2-bit default
+    if bits == 0:
+        assert config.bits_per_dimension == 2  # <900 dims -> 2-bit default
     refine = int(os.environ.get("SUITE_REFINE", 1))
     index = _build(vectors, config, refine_passes=refine)
     gt = _ground_truth(vectors, queries, k, DistanceType.L2)

@@ -155,8 +155,16 @@ class IndexConfig:
             raise ValueError(
                 "num_dimensions_to_index cannot exceed num_dimensions"
             )
-        if self.num_bits_per_dimension not in (0, 1, 2):
-            raise ValueError("num_bits_per_dimension must be 0 (auto), 1, or 2")
+        # 1/2 bits are the reference tiers (quantize.rs); 4/8 are TPU-only
+        # high-fidelity thermometer tiers — at 1M x 128d the 2-bit rescore
+        # ceiling tops out at 0.955 recall@10 even with a perfect beam
+        # (results/sift1m.jsonl sbq-ceiling rows), so reaching the >=0.99
+        # regime at scale needs finer codes.  Same encode semantics
+        # (ops/sbq.py thermometer; Hamming == L1 on bucket levels).
+        if self.num_bits_per_dimension not in (0, 1, 2, 4, 8):
+            raise ValueError(
+                "num_bits_per_dimension must be 0 (auto), 1, 2, 4, or 8"
+            )
         # Reference: inner product requires SBQ storage (build.rs:264-266).
         if (
             self.storage_layout == StorageLayout.PLAIN

@@ -319,6 +319,15 @@ def beam_search(
         distance_type=distance_type,
     )
 
+    if fused_gather and use_codes and edge_codes is not None:
+        # Pre-pad the cache rows to the Mosaic lane multiple ONCE (outside
+        # the while_loop) — the kernel's row DMAs must be lane-aligned and
+        # an in-loop pad would re-copy the cache every iteration.
+        rw = edge_codes.shape[1]
+        rwp = -(-rw // 128) * 128
+        if rwp != rw:
+            edge_codes = jnp.pad(edge_codes, ((0, 0), (0, rwp - rw)))
+
     # ---- init: insert start nodes (deduplicated) into the beam ----
     start_valid = start_ids >= 0
     # Dedup identical start ids within a row (keep first occurrence).

@@ -123,24 +123,29 @@ def _edge_gather_kernel(
     sel_ref,  # SMEM i32[nq_tiles * E * TILE_GQ] (scalar prefetch)
     qtile_ref,  # VMEM u32[TILE_GQ, RWp] query codes tiled to R neighbors
     seg_ref,  # VMEM f32[RWp, seg_out] 0/1 word->neighbor segment matrix
-    ec_ref,  # ANY  u32[cap, RW] edge-code cache rows (stays in HBM)
+    ec_ref,  # ANY  u32[cap, 1, RW] edge-code cache rows (stays in HBM)
     out_ref,  # VMEM f32[TILE_GQ, E * seg_out]
-    scratch_ref,  # VMEM u32[E * TILE_GQ, RWp]
+    scratch_ref,  # VMEM u32[E * TILE_GQ, 1, RWp]
     sem_ref,  # DMA semaphores [E * TILE_GQ]
     *,
+    tile_gq: int,
     e: int,
     rw: int,
     seg_out: int,
 ):
+    # Rows carry a singleton middle dim: Mosaic requires slices of TILED
+    # (sublane, lane) memref dims to be sublane-aligned, so a (1, RW)
+    # slice of a 2D buffer is rejected — with the row as a LEADING dim
+    # the per-row slice never cuts a tile.
     i = pl.program_id(0)
-    base = i * (e * TILE_GQ)
-    rows = e * TILE_GQ
+    base = i * (e * tile_gq)
+    rows = e * tile_gq
 
     def copy(j):
         row = sel_ref[base + j]
         return pltpu.make_async_copy(
-            ec_ref.at[pl.ds(row, 1), :],
-            scratch_ref.at[pl.ds(j, 1), pl.ds(0, rw)],
+            ec_ref.at[pl.ds(row, 1)],
+            scratch_ref.at[pl.ds(j, 1)],
             sem_ref.at[j],
         )
 
@@ -155,9 +160,12 @@ def _edge_gather_kernel(
     q = qtile_ref[:]  # [TILE_GQ, RWp]
     seg = seg_ref[:]  # [RWp, seg_out]
     for ei in range(e):
-        blk = scratch_ref[ei * TILE_GQ : (ei + 1) * TILE_GQ, :]
+        blk = scratch_ref[ei * tile_gq : (ei + 1) * tile_gq, 0, :]
         x = jnp.bitwise_xor(blk, q)
-        pops = lax.population_count(x).astype(jnp.float32)
+        # Mosaic has no u32->f32 cast; popcount results fit int32 exactly.
+        pops = (
+            lax.population_count(x).astype(jnp.int32).astype(jnp.float32)
+        )
         # Segment-sum the W words of each neighbor code on the MXU: the
         # stale lanes beyond rw hit all-zero seg rows, so scratch reuse
         # across grid steps needs no zeroing.
@@ -185,21 +193,30 @@ def hamming_edge_gather_pallas(
     q, e = sel.shape
     w = query_codes.shape[1]
     rw = r_max * w
-    assert edge_codes.shape[1] == rw
     seg_out = -(-r_max // 128) * 128
     rwp = -(-rw // 128) * 128
+    # Mosaic DMA slices must be lane-aligned: rows are moved at the padded
+    # width, with the tail zeroed by the segment matrix.  Hot-loop callers
+    # (beam_search) pre-pad ONCE outside their while_loop; padding here
+    # would otherwise re-copy the cache every call.
+    assert edge_codes.shape[1] in (rw, rwp)
+    if edge_codes.shape[1] != rwp:
+        edge_codes = jnp.pad(edge_codes, ((0, 0), (0, rwp - rw)))
+    # Scratch rows pad their singleton sublane dim to 8; halve the query
+    # tile at wide frontiers to bound VMEM (~5 MB either way).
+    tile_gq = TILE_GQ if e <= 2 else TILE_GQ // 2
 
-    q_pad = -q % TILE_GQ
+    q_pad = -q % tile_gq
     qp = q + q_pad
-    nq_tiles = qp // TILE_GQ
+    nq_tiles = qp // tile_gq
 
-    # sel rearranged to DMA order: step i, slot j = ei*TILE_GQ + t reads
-    # the row for query (i*TILE_GQ + t), frontier ei.
+    # sel rearranged to DMA order: step i, slot j = ei*tile_gq + t reads
+    # the row for query (i*tile_gq + t), frontier ei.
     sel_p = jnp.pad(sel, ((0, q_pad), (0, 0)))
     sel_pre = (
-        sel_p.reshape(nq_tiles, TILE_GQ, e)
+        sel_p.reshape(nq_tiles, tile_gq, e)
         .transpose(0, 2, 1)
-        .reshape(nq_tiles * e * TILE_GQ)
+        .reshape(nq_tiles * e * tile_gq)
     )
 
     qtile = jnp.pad(
@@ -214,13 +231,19 @@ def hamming_edge_gather_pallas(
     ).astype(jnp.float32)
 
     out = pl.pallas_call(
-        functools.partial(_edge_gather_kernel, e=e, rw=rw, seg_out=seg_out),
+        functools.partial(
+            _edge_gather_kernel,
+            tile_gq=tile_gq,
+            e=e,
+            rw=rw,
+            seg_out=seg_out,
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nq_tiles,),
             in_specs=[
                 pl.BlockSpec(
-                    (TILE_GQ, rwp), lambda i, sel: (i, 0),
+                    (tile_gq, rwp), lambda i, sel: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -230,12 +253,12 @@ def hamming_edge_gather_pallas(
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (TILE_GQ, e * seg_out), lambda i, sel: (i, 0),
+                (tile_gq, e * seg_out), lambda i, sel: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((e * TILE_GQ, rwp), jnp.uint32),
-                pltpu.SemaphoreType.DMA((e * TILE_GQ,)),
+                pltpu.VMEM((e * tile_gq, 1, rwp), jnp.uint32),
+                pltpu.SemaphoreType.DMA((e * tile_gq,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((qp, e * seg_out), jnp.float32),
@@ -245,7 +268,7 @@ def hamming_edge_gather_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(sel_pre, qtile, seg, edge_codes)
+    )(sel_pre, qtile, seg, edge_codes[:, None, :])
 
     return out.reshape(qp, e, seg_out)[:q, :, :r_max].reshape(
         q, e * r_max

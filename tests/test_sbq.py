@@ -49,7 +49,7 @@ def np_quantize(vec, mean, m2, count, bits):
     return out
 
 
-@pytest.mark.parametrize("bits", [1, 2])
+@pytest.mark.parametrize("bits", [1, 2, 4, 8])
 @pytest.mark.parametrize("dims", [8, 33, 128])
 def test_encode_matches_scalar(rng, bits, dims):
     train_data = rng.standard_normal((200, dims)).astype(np.float32)
@@ -123,3 +123,102 @@ def test_zero_variance_dim_encodes_zero_ones():
 @pytest.mark.parametrize("dims,bits", [(128, 2), (768, 1), (900, 1)])
 def test_code_width(dims, bits):
     assert sbq.num_code_words(dims, bits) == -(-dims * bits // 32)
+
+
+def test_hamming_is_l1_on_thermometer_levels(rng):
+    """Thermometer codes make Hamming == L1 distance on bucket levels —
+    the property that lets the 4/8-bit TPU tiers reuse the packed
+    XOR+popcount pipeline unchanged (higher fidelity, same kernels)."""
+    from pgvectorscale_tpu.ops.hamming import hamming_distance_matrix
+
+    bits, dims = 4, 32
+    train_data = rng.standard_normal((300, dims)).astype(np.float32)
+    stats = sbq.train(train_data)
+    a = rng.standard_normal((9, dims)).astype(np.float32)
+    b = rng.standard_normal((7, dims)).astype(np.float32)
+
+    def lv(x):
+        mean, m2 = np.asarray(stats.mean), np.asarray(stats.m2)
+        std = np.sqrt(m2 / int(stats.count))
+        index = ((x - mean) / std + 2.0) / (4.0 / (bits + 1))
+        ones = np.minimum(np.floor(index), bits)
+        return np.where(index < 1.0, 0, ones).astype(np.int64)
+
+    got = np.asarray(
+        hamming_distance_matrix(
+            sbq.encode(a, stats, bits), sbq.encode(b, stats, bits)
+        )
+    )
+    want = np.abs(lv(a)[:, None, :] - lv(b)[None, :, :]).sum(axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_high_fidelity_bits_raise_rescore_ceiling(rng):
+    """4-bit codes order candidates strictly better than 2-bit on the same
+    corpus: the exact-rescore ceiling at a fixed window improves (the
+    reason the TPU-only 4/8 tiers exist — results/sift1m.jsonl sbq-ceiling
+    rows show 2-bit capping 1M recall at 0.955)."""
+    import pytest as _pytest
+
+    from pgvectorscale_tpu import IndexConfig
+    from pgvectorscale_tpu.ops.hamming import hamming_distance_matrix
+
+    with _pytest.raises(ValueError):
+        IndexConfig(num_dimensions=16, num_bits_per_dimension=3)
+    IndexConfig(num_dimensions=16, num_bits_per_dimension=4)  # accepted
+    IndexConfig(num_dimensions=16, num_bits_per_dimension=8)
+
+    n, d, q, k, window = 4000, 48, 64, 10, 30
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    exact = (
+        np.einsum("nd,nd->n", vectors, vectors)[None, :]
+        - 2.0 * queries @ vectors.T
+    )
+    gt = np.argpartition(exact, k, axis=1)[:, :k]
+
+    stats = sbq.train(vectors)
+    ceilings = {}
+    for bits in (2, 4):
+        cd = np.asarray(
+            hamming_distance_matrix(
+                sbq.encode(queries, stats, bits),
+                sbq.encode(vectors, stats, bits),
+            )
+        )
+        top = np.argpartition(cd, window, axis=1)[:, :window]
+        hits = 0
+        for r in range(q):
+            w = top[r]
+            best = w[np.argpartition(exact[r][w], k)[:k]]
+            hits += len(set(best) & set(gt[r]))
+        ceilings[bits] = hits / (q * k)
+    assert ceilings[4] > ceilings[2]
+
+
+def test_four_bit_index_builds_and_searches(rng):
+    """End-to-end smoke at bits=4: build, search, self-query exactness."""
+    from pgvectorscale_tpu import (
+        DiskannIndex,
+        DistanceType,
+        IndexConfig,
+        QueryParams,
+    )
+
+    n, d, k = 400, 24, 5
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=16,
+        search_list_size=32,
+        num_bits_per_dimension=4,
+    )
+    index = DiskannIndex.build(vectors, config)
+    assert index.arrays.codes.shape[1] == sbq.num_code_words(d, 4)
+    ids, dists = index.search(
+        vectors[:8], k=k, params=QueryParams(search_list_size=32, rescore=32)
+    )
+    # Self-queries find themselves at distance ~0.
+    np.testing.assert_array_equal(ids[:, 0], np.arange(8))
+    assert np.all(dists[:, 0] < 1e-4)
