@@ -141,11 +141,17 @@ def _build(vectors, config, **kw):
 
 
 def _sbq_ceiling(index, queries, gt, rescores, chunk=256):
-    """Quantizer rescore-recall ceiling at THIS corpus scale: recall@10 if
-    the beam were exact and only the rescore window limited recall (rank
-    ALL rows by exact code Hamming, keep top-`rescore`, exact-rescore).
-    Separates quantizer loss from graph/visit loss — the round-3 harness
-    (results/sweep_explore_r3.json) ported from 100k to the artifact's N."""
+    """TRUE upper bound on recall@k for any search whose rescore window is
+    the global Hamming-top-(rescore+k) row set, under ANY tie-break: a
+    ground-truth row is recoverable iff strictly fewer than rescore+k rows
+    have smaller code-Hamming distance (ties broken in its favor; exact
+    rescoring of a window that contains it always surfaces it, since gt
+    rows ARE the exact top-k).  Round-5 rewrite — the previous harness
+    ranked by Hamming with one arbitrary tie-break, and a measured sweep
+    point exceeded its "ceiling" (0.9663 vs 0.9553, VERDICT r4 weak #4).
+    Scope caveat emitted with each row: strategies that exact-score
+    candidates from OUTSIDE the global Hamming top-m (e.g. "expand"'s
+    1-hop neighborhood rescore) are not bounded by this number."""
     import jax
     import jax.numpy as jnp
 
@@ -153,7 +159,6 @@ def _sbq_ceiling(index, queries, gt, rescores, chunk=256):
     from pgvectorscale_tpu.distance import preprocess_cosine
     from pgvectorscale_tpu.ops import sbq
     from pgvectorscale_tpu.ops.hamming import hamming_distance_matrix
-    from pgvectorscale_tpu import store
 
     config = index.config
     k = gt.shape[1]
@@ -164,50 +169,39 @@ def _sbq_ceiling(index, queries, gt, rescores, chunk=256):
         qv[:, : config.dims_to_index], index.sbq_stats,
         config.bits_per_dimension,
     )
-    m = max(rescores) + k
     arrays = index.arrays
 
-    # Vectors/scales are ARGUMENTS, not closure captures: captured device
-    # arrays become program constants, and a 1M x 128 f32 constant stalls
-    # the tunneled remote compile for tens of minutes (see CLAUDE.md; this
-    # exact bug ate a full suite run on 2026-08-19).
+    # Codes are an ARGUMENT, not a closure capture: captured device arrays
+    # become program constants, and a 1M-row constant stalls the tunneled
+    # remote compile for tens of minutes (see CLAUDE.md).
     @jax.jit
-    def topm_by_code(qc_chunk, qv_chunk, codes, vectors, vec_scales):
-        d = hamming_distance_matrix(qc_chunk, codes).astype(jnp.float32)
-        _, ids = jax.lax.top_k(-d, m)
-        vecs = store.dequant_rows(vectors, vec_scales, ids).astype(
-            jnp.float32
-        )
-        if config.distance_type == DistanceType.L2:
-            diff = vecs - qv_chunk[:, None, :]
-            exact = jnp.sum(diff * diff, axis=-1)
-        else:
-            dots = jnp.einsum("qmd,qd->qm", vecs, qv_chunk,
-                              preferred_element_type=jnp.float32)
-            exact = (
-                -dots
-                if config.distance_type == DistanceType.INNER_PRODUCT
-                else 1.0 - dots
-            )
-        return ids, exact
+    def strict_rank(qc_chunk, gt_chunk, codes):
+        d = hamming_distance_matrix(qc_chunk, codes)  # [c, N] int32
+        gt_h = jnp.take_along_axis(d, gt_chunk, axis=1)  # [c, k]
+        # #rows strictly closer (in code space) than each gt row; k passes
+        # over [c, N] keep the peak intermediate at one distance matrix.
+        return jnp.stack(
+            [jnp.sum((d < gt_h[:, j : j + 1]).astype(jnp.int32), axis=1)
+             for j in range(k)],
+            axis=1,
+        )  # [c, k]
 
     nq = qv.shape[0]
-    out = {r: 0 for r in rescores}
+    ranks = []
     for i in range(0, nq, chunk):
         print(f"[suite] ceiling chunk {i}/{nq}", file=sys.stderr, flush=True)
-        ids, exact = topm_by_code(
-            qc[i : i + chunk], qv[i : i + chunk], arrays.codes,
-            arrays.vectors, arrays.vec_scales,
-        )
-        ids, exact = np.asarray(ids), np.asarray(exact)
-        for r in rescores:
-            order = np.argsort(exact[:, : r + k], axis=1)[:, :k]
-            top = np.take_along_axis(ids[:, : r + k], order, axis=1)
-            for row in range(ids.shape[0]):
-                out[r] += len(set(gt[i + row]) & set(int(x) for x in top[row]))
+        ranks.append(np.asarray(strict_rank(
+            qc[i : i + chunk],
+            jnp.asarray(gt[i : i + chunk].astype(np.int32)),
+            arrays.codes,
+        )))
+    ranks = np.concatenate(ranks, axis=0)  # [nq, k]
     for r in rescores:
         _emit({"phase": "sbq-ceiling", "rescore": r,
-               "ceiling": round(out[r] / (nq * k), 4)})
+               "ceiling": round(float((ranks < r + k).mean()), 4),
+               "bound_scope": "global-hamming-top-m windows, any tie-break;"
+                              " not a bound for exact-scored out-of-top-m"
+                              " candidates (expand/scored strategies)"})
 
 
 def run_sift1m(n, q):
@@ -237,14 +231,19 @@ def run_sift1m(n, q):
     print("[suite] ground truth ready", file=sys.stderr, flush=True)
     if os.environ.get("SUITE_CEILING", "1") == "1":
         _sbq_ceiling(index, queries, gt, [50, 300, 600, 1500])
-    for L, resc, e, strat, vf in [
+    sweep = [
         (100, 50, 4, "expand", 1.0), (100, 150, 4, "expand", 1.0),
         (150, 300, 2, "expand", 1.0), (150, 300, 2, "expand", 2.0),
         (150, 600, 2, "expand", 2.0), (150, 1000, 2, "expand", 1.0),
         (300, 1500, 2, "expand", 1.0), (200, 1500, 2, "beam", 1.0),
         (200, 1500, 2, "beam", 2.0), (200, 1500, 2, "scored", 2.0),
         (300, 1500, 2, "beam", 2.0),
-    ]:
+    ]
+    if bits >= 4:
+        # High-fidelity tiers raise the rescore ceiling past 0.99; give the
+        # sweep the wider operating points that can actually reach it.
+        sweep += [(300, 2000, 2, "scored", 2.0), (400, 2000, 2, "beam", 2.0)]
+    for L, resc, e, strat, vf in sweep:
         params = QueryParams(search_list_size=L, rescore=resc, expand=e,
                              window_strategy=strat, visit_factor=vf)
         ids, qps, spread = _timed_search(index, queries, k, params)

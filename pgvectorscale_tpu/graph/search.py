@@ -320,9 +320,11 @@ def beam_search(
     )
 
     if fused_gather and use_codes and edge_codes is not None:
-        # Pre-pad the cache rows to the Mosaic lane multiple ONCE (outside
-        # the while_loop) — the kernel's row DMAs must be lane-aligned and
-        # an in-loop pad would re-copy the cache every iteration.
+        # The kernel's row DMAs must be lane-aligned; the cache is built
+        # pre-padded when fused gather is on (_build_edge_codes
+        # pad_to_lanes), so this is normally a no-op — the fallback pad
+        # covers callers handing in an unpadded cache (it re-copies the
+        # cache per dispatch, which the pre-padded build exists to avoid).
         rw = edge_codes.shape[1]
         rwp = -(-rw // 128) * 128
         if rwp != rw:
@@ -496,8 +498,12 @@ def beam_search(
         elif use_codes and edge_codes is not None:
             # Cache rows are FLAT u32[R*W] (see _build_edge_codes: a
             # [R, W] minor pair would pad W up to 128 lanes, 2x HBM).
+            # Slice after the gather: a lane-padded cache (fused-gather
+            # builds) carries a zero tail past R*W.
             w = query_codes.shape[1]
-            ec = edge_codes[jnp.maximum(sel_id, 0)]  # [Q, E, R*W]
+            ec = edge_codes[jnp.maximum(sel_id, 0)][
+                ..., : r_max * w
+            ]  # [Q, E, R*W]
             qtile = jnp.tile(query_codes, (1, r_max))  # [Q, R*W]
             x = jnp.bitwise_xor(ec, qtile[:, None, :])
             pops = lax.population_count(x).astype(jnp.int32)

@@ -202,9 +202,15 @@ def hamming_edge_gather_pallas(
     assert edge_codes.shape[1] in (rw, rwp)
     if edge_codes.shape[1] != rwp:
         edge_codes = jnp.pad(edge_codes, ((0, 0), (0, rwp - rw)))
-    # Scratch rows pad their singleton sublane dim to 8; halve the query
-    # tile at wide frontiers to bound VMEM (~5 MB either way).
-    tile_gq = TILE_GQ if e <= 2 else TILE_GQ // 2
+    # Scratch rows pad their singleton sublane dim to 8, so the scratch
+    # block costs e*tile_gq*8*rwp*4 bytes.  Size tile_gq from a fixed VMEM
+    # budget (not just e): the 4/8-bit SBQ tiers widen rwp up to 4x
+    # (e.g. 128d 8-bit -> rwp=2176), and a tile sized for 2-bit rows blows
+    # Mosaic's VMEM limit exactly in those configs (round-4 advisor
+    # finding).  ~8 MB of the ~16 MB VMEM goes to scratch; qtile/seg/out
+    # blocks take ~2 MB more at these shapes.
+    budget = 8 << 20
+    tile_gq = min(TILE_GQ, max(8, (budget // (e * 8 * rwp * 4)) // 8 * 8))
 
     q_pad = -q % tile_gq
     qp = q + q_pad

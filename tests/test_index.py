@@ -204,6 +204,10 @@ def test_full_reachability_via_iterator(rng):
     for nid, _ in it:
         seen.add(nid)
     assert seen == set(range(n))
+    # Resumability receipt (greedy_search_iterate analog): the full-table
+    # scan expands each node at most once ACROSS refills — O(N) total
+    # visits, not O(N) per refill-doubling.
+    assert 0 <= it.total_visits <= n, it.total_visits
 
 
 def test_streaming_order_is_relaxed_but_rescored(rng):
