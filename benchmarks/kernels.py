@@ -305,47 +305,46 @@ def bench_beammerge():
 
 
 def bench_rescore_tiers():
-    """Exact-rescore gather+distance at each stored-vector tier.
+    """Exact-rescore gather+distance at each stored-vector tier, timed
+    through the PRODUCTION path (index._exact_batch_distances — the same
+    code _finalize_results dispatches).
 
     The rescore loop gathers [Q, m, D] vector rows from HBM and reduces
     them against the query — HBM-bandwidth-bound, so the tier dtype sets
-    the ceiling: bf16 halves the bytes read, int8 (+ per-row scale)
-    quarters them.  Receipt for the docs/DESIGN.md memory-budget claims."""
+    the ceiling: bf16 halves the bytes read; int8 quarters them AND skips
+    the dequantized f32 intermediate entirely (scale factored out of the
+    MXU reduction — round-5 rerank).  Receipt for the docs/DESIGN.md
+    memory-budget claims and the VERDICT r4 weak-#5 fix."""
     import jax.numpy as jnp
 
-    from pgvectorscale_tpu.store import dequant_rows, quantize_rows
+    from pgvectorscale_tpu.config import DistanceType
+    from pgvectorscale_tpu.index import _exact_batch_distances
+    from pgvectorscale_tpu.store import quantize_rows
 
     rng = np.random.default_rng(3)
     n, d, q, m = 1_000_000, 768, 1024, 310  # 1M x 768, L=150/rescore=300-ish
     base = rng.standard_normal((n, d)).astype(np.float32)
     ids = jnp.asarray(rng.integers(0, n, (q, m), dtype=np.int32))
     qv = jnp.asarray(rng.standard_normal((q, d)).astype(np.float32))
-
-    def dist_from(vecs, qv):
-        diff = vecs.astype(jnp.float32) - qv[:, None, :]
-        return jnp.sum(diff * diff, axis=-1)
+    ones = jnp.ones((n,), jnp.float32)
 
     results = {}
     for tier in ("f32", "bf16", "int8"):
         if tier == "int8":
-            vecs8, scales = quantize_rows(jnp.asarray(base))
-
-            def step(i, vectors, scales, ids, qv):
-                s = (ids + i) % n
-                rows = dequant_rows(vectors, scales, s)
-                return jnp.sum(dist_from(rows, qv))
-
-            t = _time(step, vecs8, scales, ids, qv)
+            vecs, scales = quantize_rows(jnp.asarray(base))
         else:
             dt = jnp.bfloat16 if tier == "bf16" else jnp.float32
-            vecs = jnp.asarray(base, dtype=dt)
+            vecs, scales = jnp.asarray(base, dtype=dt), ones
 
-            def step(i, vectors, ids, qv):
-                s = (ids + i) % n
-                return jnp.sum(dist_from(vectors[s], qv))
+        def step(i, vectors, scales, ids, qv):
+            s = (ids + i) % n
+            return jnp.sum(
+                _exact_batch_distances(
+                    vectors, scales, qv, s, distance_type=DistanceType.L2
+                )
+            )
 
-            t = _time(step, vecs, ids, qv)
-        results[tier] = t
+        results[tier] = _time(step, vecs, scales, ids, qv)
         del step
     bytes_f32 = q * m * d * 4
     _emit(

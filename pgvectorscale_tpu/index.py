@@ -195,7 +195,8 @@ def _expand_rescore_window(
 
 
 def _exact_batch_distances(
-    arrays: GraphArrays,
+    vectors: jax.Array,  # storage-dtype [cap, D]
+    vec_scales: jax.Array,  # f32[cap]
     query_vecs: jax.Array,  # f32[Q, D]
     ids: jax.Array,  # i32[Q, M] (invalid entries clamped; callers mask)
     *,
@@ -215,9 +216,9 @@ def _exact_batch_distances(
     error), and ||r||² accumulates integer products < 2²⁴ exactly in f32.
     """
     safe = jnp.maximum(ids, 0)
-    if arrays.vectors.dtype == jnp.int8:
-        rows = arrays.vectors[safe]  # int8 [Q, M, D]
-        sc = arrays.vec_scales[safe]  # f32 [Q, M]
+    if vectors.dtype == jnp.int8:
+        rows = vectors[safe]  # int8 [Q, M, D]
+        sc = vec_scales[safe]  # f32 [Q, M]
         rb = rows.astype(jnp.bfloat16)
         q_hi = query_vecs.astype(jnp.bfloat16)
         q_lo = (query_vecs - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -240,7 +241,7 @@ def _exact_batch_distances(
 
     # f32/bf16 tiers: gather in the storage dtype (bf16 halves the HBM
     # read); the convert fuses into the distance computation.
-    vecs = store.dequant_rows(arrays.vectors, arrays.vec_scales, safe).astype(
+    vecs = store.dequant_rows(vectors, vec_scales, safe).astype(
         jnp.float32
     )  # [Q, M, D]
     if distance_type == DistanceType.L2:
@@ -299,7 +300,11 @@ def _finalize_results(
     top_ids = ids[:, :m]
     top_d = d[:, :m]
     exact = _exact_batch_distances(
-        arrays, query_vecs, top_ids, distance_type=distance_type
+        arrays.vectors,
+        arrays.vec_scales,
+        query_vecs,
+        top_ids,
+        distance_type=distance_type,
     )
     exact = jnp.where(top_ids == INVALID_ID, _INF, exact)
     exact = jnp.where(top_d == _INF, _INF, exact)
@@ -316,7 +321,11 @@ def _exact_distances(
     distance_type: DistanceType,
 ) -> jax.Array:
     return _exact_batch_distances(
-        arrays, query_vec[None, :], ids[None, :], distance_type=distance_type
+        arrays.vectors,
+        arrays.vec_scales,
+        query_vec[None, :],
+        ids[None, :],
+        distance_type=distance_type,
     )[0]
 
 
@@ -484,7 +493,18 @@ class DiskannIndex:
             initial_wave = max_wave if n >= 2 * max_wave else 256
 
         capacity = max(_round_up(n, 1024), 1024)
-        if n > 0:
+        if (
+            n > 0
+            and not isinstance(vectors, jax.Array)
+            and n * d * 4 > INGEST_CHUNK_BYTES
+        ):
+            # Corpus too large to co-reside with the store as one f32
+            # tensor (5M x 768 = 15 GB input on a 16 GB chip): two-pass
+            # chunked ingest, ~512 MB of input resident at a time.
+            arrays, stats = _ingest_chunked(
+                vectors, config, capacity, sbq_stats
+            )
+        elif n > 0:
             # One fused device step: normalize + quantizer train pass
             # (maybe_train_quantizer, build.rs:574-614) + encode + store.
             arrays, stats = _ingest_jit(
@@ -1779,6 +1799,106 @@ def _ingest_jit(
         codes = sbq.encode(indexed, stats, config.bits_per_dimension)
         arrays = arrays._replace(codes=arrays.codes.at[:n].set(codes))
     return arrays, stats
+
+
+# One-shot ingest holds the f32 input AND the store on device at once —
+# fine to ~1M x 768 (~4 GB input), fatal at 5M (15 GB input + 9 GB store
+# on a 16 GB chip).  Above this input size build() switches to the
+# chunked two-pass ingest below.
+INGEST_CHUNK_BYTES = 1 << 30
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _train_chunk_jit(
+    stats: sbq.SbqStats, raw_chunk: jax.Array, *, config: IndexConfig
+) -> sbq.SbqStats:
+    dev = (
+        preprocess_cosine(raw_chunk)
+        if config.distance_type == DistanceType.COSINE
+        else raw_chunk.astype(jnp.float32)
+    )
+    return sbq.merge_stats(
+        stats, sbq.train(dev[:, : config.dims_to_index])
+    )
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("config",)
+)
+def _ingest_chunk_jit(
+    arrays: GraphArrays,  # donated (updated in place)
+    raw_chunk: jax.Array,  # f32[c, D]
+    stats: sbq.SbqStats,
+    i0: jax.Array,  # i32 scalar row offset
+    *,
+    config: IndexConfig,
+) -> GraphArrays:
+    dev = (
+        preprocess_cosine(raw_chunk)
+        if config.distance_type == DistanceType.COSINE
+        else raw_chunk.astype(jnp.float32)
+    )
+    indexed = dev[:, : config.dims_to_index]
+    if config.vector_dtype == "int8":
+        rows, scales = store.quantize_rows(dev)
+        arrays = arrays._replace(
+            vec_scales=lax.dynamic_update_slice(
+                arrays.vec_scales, scales, (i0,)
+            )
+        )
+    else:
+        rows = dev.astype(arrays.vectors.dtype)
+    arrays = arrays._replace(
+        vectors=lax.dynamic_update_slice(arrays.vectors, rows, (i0, 0))
+    )
+    if config.uses_sbq:
+        codes = sbq.encode(indexed, stats, config.bits_per_dimension)
+        arrays = arrays._replace(
+            codes=lax.dynamic_update_slice(arrays.codes, codes, (i0, 0))
+        )
+    return arrays
+
+
+def _ingest_chunked(
+    vectors: np.ndarray,
+    config: IndexConfig,
+    capacity: int,
+    sbq_stats: Optional[sbq.SbqStats],
+) -> tuple[GraphArrays, sbq.SbqStats]:
+    """Two-pass chunked ingest for corpora too large to co-reside with the
+    store as one f32 tensor (the 5M+ x 768 scale configs): pass 1 merges
+    per-chunk quantizer statistics with Chan's update (numerically the
+    sharded-build path, ops/sbq.merge_stats — NOT bit-identical to the
+    one-shot batched pass, same contract as parallel training in the
+    reference, build.rs:574-614); pass 2 normalizes/encodes/quantizes each
+    chunk and writes rows into the donated store.  Peak device residency
+    is the store plus ONE ~512 MB chunk."""
+    n, d = vectors.shape
+    chunk = min(
+        _round_up(max(1, (512 << 20) // (d * 4)), 1024),
+        _round_up(n, 1024),
+    )
+    train = sbq_stats is None and config.uses_sbq
+    stats = (
+        sbq_stats
+        if sbq_stats is not None
+        else _empty_stats(config.dims_to_index)
+    )
+    if train:
+        for i0 in range(0, n, chunk):
+            stats = _train_chunk_jit(
+                stats, jnp.asarray(vectors[i0 : i0 + chunk]), config=config
+            )
+    arrays = store.empty_arrays(config, capacity)
+    for i0 in range(0, n, chunk):
+        arrays = _ingest_chunk_jit(
+            arrays,
+            jnp.asarray(vectors[i0 : i0 + chunk]),
+            stats,
+            jnp.asarray(i0, jnp.int32),
+            config=config,
+        )
+    return arrays._replace(count=jnp.asarray(n, jnp.int32)), stats
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

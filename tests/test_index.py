@@ -624,3 +624,42 @@ def test_window_strategies_equivalent_contract(rng):
     assert recalls["beam"] >= 0.9, recalls
     assert recalls["expand"] >= recalls["beam"] - 0.08, recalls
     assert recalls["scored"] >= recalls["beam"] - 0.08, recalls
+
+
+def test_chunked_ingest_matches_oneshot(rng, monkeypatch):
+    """Large builds switch to the two-pass chunked ingest (index.py
+    _ingest_chunked — the 5M-scale path where one f32 corpus tensor
+    cannot co-reside with the store).  Force it at small N and check the
+    result is a healthy equivalent of the one-shot build: same quantizer
+    statistics up to Chan-merge float error, self-recall intact, exact
+    same stored int8 rows."""
+    import pgvectorscale_tpu.index as index_mod
+
+    n, d = 3000, 48
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.COSINE,
+        num_neighbors=16,
+        search_list_size=32,
+        vector_dtype="int8",
+    )
+    one = DiskannIndex.build(vectors, config)
+    monkeypatch.setattr(index_mod, "INGEST_CHUNK_BYTES", 64 * 1024)
+    chunked = DiskannIndex.build(vectors, config)
+    assert chunked.count == n
+
+    # Quantizer stats agree to float tolerance (Chan merge vs one pass).
+    np.testing.assert_allclose(
+        np.asarray(chunked.sbq_stats.mean), np.asarray(one.sbq_stats.mean),
+        rtol=1e-4, atol=1e-5,
+    )
+    assert int(chunked.sbq_stats.count) == n
+    # Stored rows are identical (quantization is per-row, stats-free).
+    np.testing.assert_array_equal(
+        np.asarray(chunked.arrays.vectors[:n]),
+        np.asarray(one.arrays.vectors[:n]),
+    )
+    params = QueryParams(search_list_size=48, rescore=64)
+    ids, _ = chunked.search(vectors[:16], k=1, params=params)
+    assert [int(i) for i in np.asarray(ids)[:, 0]] == list(range(16))

@@ -103,3 +103,65 @@ def test_sharded_build_step_matches_single_device(small_index):
     np.testing.assert_array_equal(
         np.asarray(single.adjacency), np.asarray(sharded.adjacency)
     )
+
+
+def test_multihost_degenerate_single_process(monkeypatch):
+    """The multi-host code path (parallel/multihost.py) at world size 1:
+    initialize_from_env is a no-op, global_mesh spans the local devices,
+    hybrid_mesh degenerates to [1, local] — and a ShardedDiskannIndex
+    built on the global mesh searches correctly.  (A real multi-process
+    world cannot run in this environment; this pins the degenerate path
+    and the env contract.)"""
+    from pgvectorscale_tpu import QueryParams
+    from pgvectorscale_tpu.parallel import multihost
+    from pgvectorscale_tpu.parallel.sharded import ShardedDiskannIndex
+
+    monkeypatch.delenv(multihost.COORDINATOR_ENV, raising=False)
+    assert multihost.initialize_from_env() is False
+    assert multihost.world() == (0, 1)
+
+    mesh = multihost.global_mesh(n_devices=8)
+    assert mesh.devices.size == 8 and mesh.axis_names == ("n",)
+    hy = multihost.hybrid_mesh()
+    assert hy.axis_names == ("host", "q") and hy.devices.shape[0] == 1
+
+    rng = np.random.default_rng(11)
+    n, d = 512, 32
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.L2,
+        num_neighbors=16,
+        search_list_size=32,
+    )
+    index = ShardedDiskannIndex.build(vectors, config, mesh=mesh)
+    qs = vectors[:16]
+    ids, _ = index.search(qs, k=1, params=QueryParams(search_list_size=32,
+                                                      rescore=32))
+    ext = index.to_external(np.asarray(ids))
+    assert [int(i) for i in ext[:, 0]] == list(range(16))
+
+
+def test_multihost_initialize_env_contract(monkeypatch):
+    """With the env set to a >1 world, initialize_from_env must route to
+    jax.distributed.initialize with exactly the env's values (stubbed —
+    a second process cannot exist here)."""
+    from pgvectorscale_tpu.parallel import multihost
+
+    calls = {}
+
+    def fake_init(coordinator_address, num_processes, process_id):
+        calls.update(addr=coordinator_address, num=num_processes,
+                     pid=process_id)
+
+    monkeypatch.setenv(multihost.COORDINATOR_ENV, "10.0.0.1:8476")
+    monkeypatch.setenv(multihost.NUM_PROCESSES_ENV, "4")
+    monkeypatch.setenv(multihost.PROCESS_ID_ENV, "2")
+    monkeypatch.setattr(multihost.jax.distributed, "initialize", fake_init)
+    monkeypatch.setattr(multihost, "_INITIALIZED", False)
+    assert multihost.initialize_from_env() is True
+    assert calls == {"addr": "10.0.0.1:8476", "num": 4, "pid": 2}
+    # Idempotent: a second call does not re-initialize.
+    calls.clear()
+    assert multihost.initialize_from_env() is True
+    assert calls == {}
