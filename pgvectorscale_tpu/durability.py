@@ -40,6 +40,59 @@ import numpy as np
 _RECORD_MAGIC = 0x50475653  # "PGVS"
 
 
+def normalize_ckpt_path(path: str) -> str:
+    """np.savez historically appended .npz to suffix-less paths; the atomic
+    writer writes the exact path, so normalize once at every entry point."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+class DurableIndexMixin:
+    """enable_durability / checkpoint / auto-checkpoint plumbing shared by
+    ``DiskannIndex`` and ``ShardedDiskannIndex``.  Hosts provide
+    ``save(path)`` (which must truncate the journal when saving to the
+    durability path) and call ``_after_durable_mutation(rows)`` after each
+    committed mutation."""
+
+    _journal: Optional["MutationJournal"] = None
+    _dur_path: Optional[str] = None
+    _dur_every: Optional[int] = None
+    _dur_pending: int = 0
+
+    def enable_durability(
+        self, path: str, auto_checkpoint_every: Optional[int] = None
+    ) -> None:
+        """Attach a crash-consistent mutation journal (the GenericXLog
+        analog, page.rs:113-124).  Writes a base checkpoint to ``path``
+        now; every subsequent add/delete journals its validated host
+        inputs BEFORE mutating device state, so a process crash loses
+        nothing committed: ``load(path)`` replays the journal on top of
+        the checkpoint.  ``auto_checkpoint_every``: consolidate into a
+        full checkpoint after this many journaled rows (bounds replay
+        length; None = only explicit save()/checkpoint() consolidate)."""
+        path = normalize_ckpt_path(path)
+        self._dur_path = path
+        self._dur_every = auto_checkpoint_every
+        self._journal = MutationJournal(path)
+        self.checkpoint()
+
+    def checkpoint(self) -> None:
+        """Write a full checkpoint to the durability path and truncate the
+        journal (replay restarts from here)."""
+        if self._dur_path is None:
+            raise ValueError("durability not enabled (enable_durability)")
+        self.save(self._dur_path)
+
+    def _after_durable_mutation(self, rows: int) -> None:
+        if self._journal is None:
+            return
+        self._dur_pending += rows
+        if (
+            self._dur_every is not None
+            and self._dur_pending >= self._dur_every
+        ):
+            self.checkpoint()
+
+
 def _atomic_write_npz(target: str, payload: dict) -> None:
     d = os.path.dirname(os.path.abspath(target)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")

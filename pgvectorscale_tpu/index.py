@@ -329,7 +329,10 @@ def _exact_distances(
     )[0]
 
 
-class DiskannIndex:
+from .durability import DurableIndexMixin
+
+
+class DiskannIndex(DurableIndexMixin):
     """A StreamingDiskANN index resident in device HBM."""
 
     def __init__(
@@ -1016,7 +1019,9 @@ class DiskannIndex:
             config=config,
             k=k,
             search_list_size=beam_width,
-            max_iters=_query_max_iters(l, params.visit_factor),
+            max_iters=_query_max_iters(
+                l, params.effective_visit_factor(self.num_live)
+            ),
             rescore_n=params.rescore,
             use_exact=use_exact,
             filtered=filtered,
@@ -1212,38 +1217,8 @@ class DiskannIndex:
     # Persistence (meta page / checkpoint analog)
     # ------------------------------------------------------------------
 
-    def enable_durability(
-        self, path: str, auto_checkpoint_every: Optional[int] = None
-    ) -> None:
-        """Attach a crash-consistent mutation journal (durability.py — the
-        GenericXLog analog, page.rs:113-124).  Writes a base checkpoint to
-        ``path`` now; every subsequent add/delete journals its validated
-        host inputs BEFORE mutating device state, so a process crash loses
-        nothing committed: ``load(path)`` replays the journal on top of the
-        checkpoint.  ``auto_checkpoint_every``: consolidate into a full
-        checkpoint after this many journaled rows (bounds replay length;
-        None = only explicit save()/checkpoint() consolidate)."""
-        from .durability import MutationJournal
-
-        path = _normalize_ckpt_path(path)
-        self._dur_path = path
-        self._dur_every = auto_checkpoint_every
-        self._journal = MutationJournal(path)
-        self.checkpoint()
-
-    def checkpoint(self) -> None:
-        """Write a full checkpoint to the durability path and truncate the
-        journal (replay restarts from here)."""
-        if self._dur_path is None:
-            raise ValueError("durability not enabled (enable_durability)")
-        self.save(self._dur_path)
-
-    def _after_durable_mutation(self, rows: int) -> None:
-        if self._journal is None:
-            return
-        self._dur_pending += rows
-        if self._dur_every is not None and self._dur_pending >= self._dur_every:
-            self.checkpoint()
+    # enable_durability / checkpoint / _after_durable_mutation come from
+    # DurableIndexMixin (durability.py).
 
     def save(self, path: str) -> None:
         """Versioned single-file checkpoint (the analog of the magic+version
@@ -1251,7 +1226,9 @@ class DiskannIndex:
         atomically (tmp + fsync + rename) so a crash mid-save preserves the
         previous checkpoint; saving to the durability path truncates the
         journal (the checkpoint subsumes it)."""
-        path = _normalize_ckpt_path(path)
+        from .durability import normalize_ckpt_path
+
+        path = normalize_ckpt_path(path)
         host = store.to_host(self.arrays)
         n = self.count
         # bf16 has no stable numpy save format; store the raw bit pattern
@@ -1290,7 +1267,9 @@ class DiskannIndex:
 
     @classmethod
     def load(cls, path: str) -> "DiskannIndex":
-        path = _normalize_ckpt_path(path)
+        from .durability import normalize_ckpt_path
+
+        path = normalize_ckpt_path(path)
         with np.load(path) as z:
             if int(z["magic"]) != CHECKPOINT_MAGIC:
                 raise ValueError("not a pgvectorscale_tpu checkpoint")
@@ -2030,12 +2009,6 @@ def _empty_stats(dims: int) -> sbq.SbqStats:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def _normalize_ckpt_path(path: str) -> str:
-    """np.savez historically appended .npz to suffix-less paths; the atomic
-    writer writes the exact path, so normalize once at every entry point."""
-    return path if path.endswith(".npz") else path + ".npz"
 
 
 def _query_max_iters(l: int, visit_factor: float = 1.0) -> int:

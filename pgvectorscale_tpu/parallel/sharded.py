@@ -45,6 +45,7 @@ from ..config import (
     QueryParams,
 )
 from ..distance import preprocess_cosine
+from ..durability import DurableIndexMixin, MutationJournal, _atomic_write_npz, normalize_ckpt_path
 from ..graph.search import beam_search, get_start_ids
 from ..index import _query_max_iters
 from ..labels import LABEL_SENTINEL, make_label_array, overlaps
@@ -521,7 +522,7 @@ def _sharded_wave_step(
     return jax.vmap(per_shard, in_axes=(0, 0, 0))(stacked, wave, prefix)
 
 
-class ShardedDiskannIndex:
+class ShardedDiskannIndex(DurableIndexMixin):
     """A DiskANN index row-sharded over a device mesh."""
 
     def __init__(
@@ -941,7 +942,14 @@ class ShardedDiskannIndex:
             ql,
             k=k,
             search_list_size=beam_width,
-            max_iters=_query_max_iters(l, params.visit_factor),
+            # Auto visit budget keys to PER-SHARD depth: each shard's
+            # traversal sees ~num_live/P rows.
+            max_iters=_query_max_iters(
+                l,
+                params.effective_visit_factor(
+                    max(self.num_live, 1) // max(self.mesh.devices.size, 1)
+                ),
+            ),
             distance_type=config.distance_type,
             use_codes=config.uses_sbq,
             expand_factor=min(params.expand, l),
@@ -1085,6 +1093,17 @@ class ShardedDiskannIndex:
         else:
             external_ids = np.asarray(external_ids, dtype=np.int64)
         labels_list = list(labels) if labels is not None else None
+        if self._journal is not None:
+            # Write-ahead (page.rs:113-124 analog): validate labels NOW so
+            # nothing invalid is ever journaled, then record the batch
+            # before any device mutation.  Replay is deterministic
+            # (placement depends only on the mutation sequence).
+            label_batch = (
+                make_label_array(labels_list, config.max_labels_per_vector)
+                if labels_list is not None
+                else None
+            )
+            self._journal.append_add(vectors, external_ids, label_batch)
         p = self.num_shards
 
         counts = self._counts_np.copy()  # host mirror — no device pull
@@ -1369,12 +1388,15 @@ class ShardedDiskannIndex:
             raise ValueError("delete ids out of range")
         if (local >= self._counts_np[shard]).any():  # host mirror, no pull
             raise ValueError("delete ids out of range")
+        if self._journal is not None:
+            self._journal.append_delete(ids)
         self.stacked = self.stacked._replace(
             deleted=self.stacked.deleted.at[
                 jnp.asarray(shard, jnp.int32), jnp.asarray(local, jnp.int32)
             ].set(True)
         )
         self._deleted_np[shard, local] = True
+        self._after_durable_mutation(len(ids))
 
     def delete_external(self, ext_ids: np.ndarray) -> None:
         """Tombstone by external id — one tiny index scatter; the round-1
@@ -1387,6 +1409,11 @@ class ShardedDiskannIndex:
             local_idx.extend(loc.tolist())
         if not shard_idx:
             return
+        if self._journal is not None:
+            self._journal._append(
+                {"op": np.frombuffer(b"delete_external", dtype=np.uint8),
+                 "ids": ext}
+            )
         self.stacked = self.stacked._replace(
             deleted=self.stacked.deleted.at[
                 jnp.asarray(shard_idx, jnp.int32),
@@ -1394,12 +1421,14 @@ class ShardedDiskannIndex:
             ].set(True)
         )
         self._deleted_np[shard_idx, local_idx] = True
+        self._after_durable_mutation(len(shard_idx))
 
     # ------------------------------------------------------------------
     # Persistence (one file holding every shard + shared state)
     # ------------------------------------------------------------------
 
     def save(self, path: str) -> None:
+        path = normalize_ckpt_path(path)
         host = to_host(self.stacked)
         payload = {
             "magic": np.int64(CHECKPOINT_MAGIC),
@@ -1420,12 +1449,18 @@ class ShardedDiskannIndex:
             payload[f"stacked_{name}"] = leaf
         for s, ext in enumerate(self.external_ids):
             payload[f"ext_{s}"] = ext
-        np.savez_compressed(path, **payload)
+        _atomic_write_npz(path, payload)
+        if self._journal is not None and path == self._dur_path:
+            self._journal.truncate()
+            self._dur_pending = 0
 
     @classmethod
     def load(cls, path: str, mesh: Mesh) -> "ShardedDiskannIndex":
+        import os
+
         from ..store import HostArrays
 
+        path = normalize_ckpt_path(path)
         with np.load(path) as z:
             if int(z["magic"]) != CHECKPOINT_MAGIC:
                 raise ValueError("not a pgvectorscale_tpu checkpoint")
@@ -1472,5 +1507,28 @@ class ShardedDiskannIndex:
         # device pull needed).
         index._counts_np = np.asarray(host.count, dtype=np.int64).copy()
         index._deleted_np = np.asarray(host.deleted, dtype=bool).copy()
+        # Crash recovery: replay journaled mutations (durability.py) with
+        # journaling detached — same WAL-redo contract as DiskannIndex.load.
+        if os.path.isdir(path + ".journal"):
+            for rec in MutationJournal(path).records():
+                op = bytes(rec["op"]).decode()
+                if op == "add":
+                    rlabels = None
+                    if "labels" in rec:
+                        rlabels = [
+                            [int(v) for v in row if v != LABEL_SENTINEL]
+                            for row in rec["labels"]
+                        ]
+                    index.add(
+                        rec["vectors"],
+                        external_ids=rec["external_ids"],
+                        labels=rlabels,
+                    )
+                elif op == "delete":
+                    index.delete(rec["ids"])
+                elif op == "delete_external":
+                    index.delete_external(rec["ids"])
+                else:
+                    raise ValueError(f"unknown journal op {op!r}")
         return index
 

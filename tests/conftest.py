@@ -7,7 +7,13 @@ xla_force_host_platform_device_count=8 CPU devices.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# PGVS_TPU_RUN_TPU_TESTS=1 opts the session onto the real chip for the
+# TPU-only Mosaic tests (tests/test_pallas_tpu.py); everything else runs
+# on the virtual CPU mesh.
+_TPU_SESSION = os.environ.get("PGVS_TPU_RUN_TPU_TESTS") == "1"
+
+if not _TPU_SESSION:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,7 +24,8 @@ import jax
 
 # The env var alone is not honored when a TPU plugin (axon) is present;
 # the config update is authoritative and must run before first backend use.
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_SESSION:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the test suite compiles many (shape, static
 # arg) variants of the search/prune kernels; caching them across runs cuts

@@ -159,3 +159,37 @@ def test_corrupt_journal_record_rejected(tmp_path):
                             op=np.frombuffer(b"add", dtype=np.uint8))
     with pytest.raises(ValueError, match="corrupt journal record"):
         DiskannIndex.load(path)
+
+
+def test_sharded_durability_roundtrip(tmp_path):
+    """Durability on the sharded class: journal add/delete_external, crash
+    (simulated by dropping the object), replay on load reproduces state."""
+    import jax
+
+    from pgvectorscale_tpu.parallel.multihost import global_mesh
+    from pgvectorscale_tpu.parallel.sharded import ShardedDiskannIndex
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    mesh = global_mesh(n_devices=8)
+    path = str(tmp_path / "shards.npz")
+    vectors = _corpus(320, seed=9)
+    index = ShardedDiskannIndex.build(vectors[:256], _config(), mesh=mesh)
+    index.enable_durability(path)
+    index.add(vectors[256:320])
+    index.delete_external(np.arange(10, dtype=np.int64))
+    assert len(index._journal) == 2
+    del index  # "crash": journal + checkpoint are all that survives
+
+    recovered = ShardedDiskannIndex.load(path, mesh)
+    expected = ShardedDiskannIndex.build(vectors[:256], _config(), mesh=mesh)
+    expected.add(vectors[256:320])
+    expected.delete_external(np.arange(10, dtype=np.int64))
+    assert recovered.num_live == expected.num_live == 310
+    params = QueryParams(search_list_size=48, rescore=64)
+    ids_r, _ = recovered.search(vectors[:32], k=5, params=params)
+    ids_e, _ = expected.search(vectors[:32], k=5, params=params)
+    np.testing.assert_array_equal(
+        recovered.to_external(np.asarray(ids_r)),
+        expected.to_external(np.asarray(ids_e)),
+    )
