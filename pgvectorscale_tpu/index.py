@@ -1402,7 +1402,10 @@ class SearchIterator:
         self._it_state = None
         self._it_qv = None
         self._it_qc = None
-        self._arrays = index.arrays  # consistent scan snapshot
+        # Consistent scan snapshot; None for index classes without a flat
+        # arrays attribute (ShardedDiskannIndex), which use the restart
+        # fallback below.
+        self._arrays = getattr(index, "arrays", None)
         self._emit_n = _round_up(max(self._l, 64), 64)
         # Welford stats over rescore-distance spread (StreamingStats,
         # scan.rs:119-160) — observability parity with amendscan's dump.
@@ -1448,7 +1451,7 @@ class SearchIterator:
             self._it_qc = jnp.zeros((0,), dtype=jnp.uint32)
 
     def _refill_pending(self) -> None:
-        if self.query_labels is not None:
+        if self.query_labels is not None or self._arrays is None:
             self._refill_restart()
             return
         from .graph import iterate
@@ -1489,7 +1492,7 @@ class SearchIterator:
                 if i >= 0 and not index._deleted_np[i]
             ]
             if fresh and self._use_exact:
-                fresh = self._rescore_batch(fresh)
+                fresh = self._rescore_batch(fresh, snapshot=True)
             self._pending = fresh
             self._seen.update(i for i, _ in fresh)
             if len(fresh) == self._emit_n:
@@ -1539,7 +1542,7 @@ class SearchIterator:
             if fresh and self._use_exact:
                 # One batched exact-distance dispatch per refill: streaming
                 # per-node pulls cost ~0.4 s each on tunneled TPUs.
-                fresh = self._rescore_batch(fresh, self.index.arrays)
+                fresh = self._rescore_batch(fresh)
             self._pending = fresh
             self._seen.update(i for i, _ in fresh)
             got_all = len(self._seen) >= n_live
@@ -1553,27 +1556,31 @@ class SearchIterator:
     def _rescore_batch(
         self,
         pending: list[tuple[int, float]],
-        arrays: Optional[GraphArrays] = None,
+        snapshot: bool = False,
     ) -> list[tuple[int, float]]:
         """Exact distances for a whole refill in one device dispatch
         (get_full_distance_for_resort analog, sbq/storage.rs:304-328).
-        The resume path rescopes against the scan snapshot; the filtered
-        fallback passes the live arrays its search ran on."""
+        The resume path (``snapshot=True``) rescopes against the scan
+        snapshot; the restart fallback goes through the index's own
+        polymorphic hook (ShardedDiskannIndex maps global slot ids)."""
         if self._qv is None:
             qv = jnp.asarray(self.query)
             if self.index.config.distance_type == DistanceType.COSINE:
                 qv = preprocess_cosine(qv)
             self._qv = qv[0]
-        ids = np.asarray([i for i, _ in pending], dtype=np.int32)
-        d = np.asarray(
-            _exact_distances(
-                self._arrays if arrays is None else arrays,
-                self._qv,
-                jnp.asarray(ids),
-                distance_type=self.index.config.distance_type,
+        ids_np = np.asarray([i for i, _ in pending], dtype=np.int64)
+        if snapshot:
+            d = np.asarray(
+                _exact_distances(
+                    self._arrays,
+                    self._qv,
+                    jnp.asarray(ids_np.astype(np.int32)),
+                    distance_type=self.index.config.distance_type,
+                )
             )
-        )
-        return [(int(i), float(x)) for i, x in zip(ids, d)]
+        else:
+            d = self.index.exact_distances_for(self._qv, ids_np)
+        return [(int(i), float(x)) for i, x in zip(ids_np, d)]
 
     def __iter__(self):
         return self
