@@ -12,7 +12,11 @@ Ground truth is exact and computed CHUNKED against the f32 corpus
 co-reside with the index), with a device-side running top-k merge.
 
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/scale.py
-Env:  SCALE_N (rows, default 5_000_000), SCALE_Q (queries, default 1024).
+Env:  SCALE_N (rows, default 5_000_000), SCALE_Q (queries, default 1024),
+      SCALE_WAVE (insert wave rows, default 2048 — at 5M the store holds
+      ~9 GB of HBM and a 4096-row wave's exact-prune transients
+      ([B, C, 768] f32 gathers + [B, C, C] occlusion) overflow the
+      16 GB chip; 2048 halves the transient peak at modest build cost).
 """
 
 from __future__ import annotations
@@ -98,26 +102,35 @@ def main():
             jnp.take_along_axis(ci, order, axis=1),
         )
 
-    t0 = time.perf_counter()
-    best_d = jnp.full((q, k), jnp.inf, jnp.float32)
-    best_i = jnp.full((q, k), -1, jnp.int64)
-    total = jnp.asarray(n, jnp.int64)
-    for i0 in range(0, n, chunk):
-        rows = jnp.asarray(vectors[i0 : i0 + chunk])
-        if rows.shape[0] < chunk:  # pad tail to keep one compiled shape
-            pad = chunk - rows.shape[0]
-            rows = jnp.concatenate(
-                [rows, jnp.ones((pad, rows.shape[1]), jnp.float32)]
+    # GT is deterministic in (seed, n, q) and costs ~15 min at 5M; cache it
+    # on disk so an OOM later in the run (or a parameter retry) does not
+    # pay it again.
+    gt_cache = f"/tmp/scale_gt_cohere_{n}_{q}_s42.npy"
+    if os.path.exists(gt_cache):
+        gt = np.load(gt_cache)
+        _emit({"phase": "ground-truth", "seconds": 0.0, "cached": True})
+    else:
+        t0 = time.perf_counter()
+        best_d = jnp.full((q, k), jnp.inf, jnp.float32)
+        best_i = jnp.full((q, k), -1, jnp.int64)
+        total = jnp.asarray(n, jnp.int64)
+        for i0 in range(0, n, chunk):
+            rows = jnp.asarray(vectors[i0 : i0 + chunk])
+            if rows.shape[0] < chunk:  # pad tail: keep one compiled shape
+                pad = chunk - rows.shape[0]
+                rows = jnp.concatenate(
+                    [rows, jnp.ones((pad, rows.shape[1]), jnp.float32)]
+                )
+            best_d, best_i = gt_chunk(
+                best_d, best_i, rows, jnp.asarray(i0, jnp.int64), dq, total
             )
-        best_d, best_i = gt_chunk(
-            best_d, best_i, rows, jnp.asarray(i0, jnp.int64), dq, total
-        )
-        if (i0 // chunk) % 4 == 0:
-            _status(f"gt chunk {i0}/{n}")
-    gt = np.asarray(best_i)
-    assert (gt < n).all() and (gt >= 0).all()
-    _emit({"phase": "ground-truth", "seconds":
-           round(time.perf_counter() - t0, 1), "chunk_rows": chunk})
+            if (i0 // chunk) % 4 == 0:
+                _status(f"gt chunk {i0}/{n}")
+        gt = np.asarray(best_i)
+        assert (gt < n).all() and (gt >= 0).all()
+        np.save(gt_cache, gt)
+        _emit({"phase": "ground-truth", "seconds":
+               round(time.perf_counter() - t0, 1), "chunk_rows": chunk})
 
     # ---- build ----
     config = IndexConfig(
@@ -126,14 +139,26 @@ def main():
         num_bits_per_dimension=1,
         vector_dtype="int8",
     )
+    wave = int(os.environ.get("SCALE_WAVE", 2048))
+    last = [0.0]
+
+    def progress(phase, done, total_rows):
+        now = time.perf_counter()
+        if now - last[0] > 60 or done >= total_rows:
+            last[0] = now
+            _status(f"{phase}: {done}/{total_rows}")
+
     t0 = time.perf_counter()
-    index = DiskannIndex.build(vectors, config)
+    index = DiskannIndex.build(
+        vectors, config, max_wave=wave, progress_callback=progress
+    )
     device_sync(index.arrays.adjacency)
     build_s = time.perf_counter() - t0
     mem = jax.local_devices()[0].memory_stats() or {}
     _emit({
         "phase": "build",
         "n": n,
+        "wave": wave,
         "seconds": round(build_s, 1),
         "vectors_per_sec": round(n / build_s, 1),
         "hbm_bytes_in_use": int(mem.get("bytes_in_use", -1)),
