@@ -354,6 +354,7 @@ def main():
     # BENCH_N to fit the driver deadline, so the at-scale operating points
     # ride along with explicit provenance instead of being re-measured.
     _attach_scale_artifact()
+    _attach_scale5m_artifact()
     _print_summary()
 
 
@@ -399,6 +400,46 @@ def _attach_scale_artifact():
         art["qps_at_recall_0.9_1m"] = best9["qps"]
         art["recall_at_0.9_point_1m"] = best9["recall"]
     _summary["artifact_1m"] = art
+
+
+def _attach_scale5m_artifact():
+    """Ride the beyond-1M single-chip receipt (benchmarks/scale.py ->
+    results/scale5m.jsonl) along in the driver JSON: build rate, measured
+    HBM occupancy, and the best >=0.9-recall operating point."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results",
+        "scale5m.jsonl",
+    )
+    if not os.path.exists(path):
+        return
+    rows, art = [], {"source": "results/scale5m.jsonl (benchmarks/scale.py,"
+                               " same chip)"}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "recall" in obj and "qps" in obj:
+                rows.append(obj)
+            elif obj.get("phase") == "build":
+                art["n"] = obj.get("n")
+                art["build_vectors_per_sec"] = obj.get("vectors_per_sec")
+                art["hbm_gb_in_use"] = obj.get("hbm_gb_in_use")
+    if not rows:
+        return
+    mid = [r for r in rows if r["recall"] >= 0.9]
+    best = max(mid, key=lambda r: r["qps"]) if mid else max(
+        rows, key=lambda r: r["recall"]
+    )
+    art["best_point"] = {
+        k: best[k] for k in ("L", "rescore", "strategy", "qps", "recall")
+        if k in best
+    }
+    _summary["artifact_5m"] = art
 
 
 if __name__ == "__main__":
