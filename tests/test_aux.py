@@ -223,3 +223,25 @@ def test_profiler_trace(tmp_path, rng):
         ).block_until_ready()
     prof = os.path.join(logdir, "plugins", "profile")
     assert os.path.isdir(prof) and os.listdir(prof)
+
+
+def test_auto_visit_factor_resolution():
+    """visit_factor=0 (default) resolves against index depth: 1.0 up to
+    100k live rows, then 1 + log10(N/1e5) quantized to 0.25 steps and
+    clamped at 2.0 (the 1M operating points needed vf=2 — a fixed 1.0
+    default silently under-visited deep graphs)."""
+    import pytest
+
+    auto = QueryParams()
+    assert auto.visit_factor == 0.0
+    assert auto.effective_visit_factor(1_000) == 1.0
+    assert auto.effective_visit_factor(100_000) == 1.0
+    # quantized intermediate step, monotone in N
+    mid = auto.effective_visit_factor(300_000)
+    assert 1.0 < mid < 2.0 and (4 * mid) == int(4 * mid)
+    assert auto.effective_visit_factor(1_000_000) == 2.0
+    assert auto.effective_visit_factor(50_000_000) == 2.0  # clamped
+    # explicit values pass through untouched at any depth
+    assert QueryParams(visit_factor=1.0).effective_visit_factor(10**7) == 1.0
+    with pytest.raises(ValueError):
+        QueryParams(visit_factor=0.1)
