@@ -375,6 +375,12 @@ def run_filtered(n, q):
                     window_strategy="beam"),
         QueryParams(search_list_size=300, rescore=600, expand=2,
                     visit_factor=2.0),
+        # Mid-range points for the >=2-bit runs: the higher code fidelity
+        # should cross 0.9 recall well below the L=500 point's cost.
+        QueryParams(search_list_size=200, rescore=600, expand=2,
+                    visit_factor=2.0),
+        QueryParams(search_list_size=300, rescore=1000, expand=2,
+                    window_strategy="beam", visit_factor=2.0),
         QueryParams(search_list_size=500, rescore=1500, expand=2,
                     window_strategy="beam", visit_factor=2.0),
     ]
