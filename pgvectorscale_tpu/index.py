@@ -2033,9 +2033,11 @@ def _fused_gather_enabled() -> bool:
     receipt)."""
     import os
 
+    from .utils.sync import is_tpu_backend
+
     env = os.environ.get("PGVS_TPU_FUSED_GATHER")
     if env is not None:
-        return env == "1" and jax.default_backend() == "tpu"
+        return env == "1" and is_tpu_backend()
     return False
 
 

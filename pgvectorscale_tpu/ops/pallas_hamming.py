@@ -92,8 +92,11 @@ def hamming_matrix_pallas(
 
 def hamming_matrix(query_codes: jax.Array, codes: jax.Array) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, interpreter elsewhere (tests)."""
-    on_tpu = jax.default_backend() == "tpu"
-    return hamming_matrix_pallas(query_codes, codes, interpret=not on_tpu)
+    from ..utils.sync import is_tpu_backend
+
+    return hamming_matrix_pallas(
+        query_codes, codes, interpret=not is_tpu_backend()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -20,7 +20,17 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["device_sync"]
+__all__ = ["device_sync", "is_tpu_backend"]
+
+
+def is_tpu_backend() -> bool:
+    """True when the default JAX backend is a TPU — including the tunneled
+    "axon" platform, whose backend NAME is "axon", not "tpu" (checking
+    ``default_backend() == "tpu"`` silently misses the real chip: the
+    round-4 fused-gather opt-in never actually enabled there)."""
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def device_sync(*arrays) -> None:

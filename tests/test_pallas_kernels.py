@@ -63,3 +63,20 @@ def test_pallas_edge_gather_matches_xla(rng, q, e, r, w):
         )
     )
     np.testing.assert_array_equal(got, expected)
+
+
+def test_fused_gather_gate_counts_axon_as_tpu(monkeypatch):
+    """The tunneled TPU's backend NAME is "axon", not "tpu" — the gate must
+    enable there (a == "tpu" check silently no-oped the round-4 opt-in on
+    the real chip)."""
+    from pgvectorscale_tpu.index import _fused_gather_enabled
+
+    monkeypatch.setenv("PGVS_TPU_FUSED_GATHER", "1")
+    for backend, expect in (("axon", True), ("tpu", True), ("cpu", False)):
+        monkeypatch.setattr("jax.default_backend", lambda b=backend: b)
+        assert _fused_gather_enabled() is expect, backend
+    monkeypatch.setattr("jax.default_backend", lambda: "axon")
+    monkeypatch.setenv("PGVS_TPU_FUSED_GATHER", "0")
+    assert _fused_gather_enabled() is False
+    monkeypatch.delenv("PGVS_TPU_FUSED_GATHER")
+    assert _fused_gather_enabled() is False  # default stays XLA
