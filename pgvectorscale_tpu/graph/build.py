@@ -363,10 +363,15 @@ def insert_wave(
     include_existing: bool = False,
     snap_adjacency: Optional[jax.Array] = None,
     snap_edge_codes: Optional[jax.Array] = None,
+    donate: bool = False,
 ) -> GraphArrays:
     """Insert a wave of already-stored nodes into the graph — ONE fused
     device step (search/brute candidates + prune + adjacency write +
     backlinks + in-device overflow prune).
+
+    ``donate=True`` donates ``arrays`` into the device step (the caller
+    must drop every reference to it, including any snapshot aliasing its
+    adjacency) — see _wave_step_donated_jit.
 
     Mirrors graph.insert semantics (graph/mod.rs:637-717): for labeled
     vectors a filtered pass from label start nodes plus an unfiltered pass
@@ -408,7 +413,8 @@ def insert_wave(
         prefix = (0 if n_existing is None else int(n_existing)) + n_real
     if ctx.stats is not None:
         ctx.stats.num_waves += 1
-    return _wave_step_jit(
+    step = _wave_step_donated_jit if donate else _wave_step_jit
+    return step(
         arrays,
         jnp.asarray(node_ids_np, dtype=jnp.int32),
         jnp.asarray(prefix, dtype=jnp.int32),
@@ -442,25 +448,24 @@ def insert_wave(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "search_list_size",
-        "max_iters",
-        "brute",
-        "slice_rows",
-        "use_codes",
-        "prune_use_codes",
-        "code_bits",
-        "distance_type",
-        "alphas",
-        "num_neighbors",
-        "labeled",
-        "include_existing",
-        "trunc_dims",
-    ),
+_WAVE_STEP_STATICS = (
+    "search_list_size",
+    "max_iters",
+    "brute",
+    "slice_rows",
+    "use_codes",
+    "prune_use_codes",
+    "code_bits",
+    "distance_type",
+    "alphas",
+    "num_neighbors",
+    "labeled",
+    "include_existing",
+    "trunc_dims",
 )
-def _wave_step_jit(
+
+
+def _wave_step(
     arrays: GraphArrays,
     node_ids: jax.Array,  # i32[B], INVALID_ID padded
     prefix: jax.Array,  # i32 scalar — rows < prefix may be candidates
@@ -721,6 +726,25 @@ def _wave_step_jit(
     return arrays._replace(adjacency=adjacency)
 
 
+_wave_step_jit = functools.partial(
+    jax.jit, static_argnames=_WAVE_STEP_STATICS
+)(_wave_step)
+
+# Donated twin for the initial-build loop: without donation every wave
+# holds the full store PLUS a fresh adjacency copy — at 5M x 768d the
+# store alone is ~9 GB of a 16 GB chip and the duplicate adjacency
+# ([5M, 65] i32 lane-padded to 128 = 2.6 GB) OOMed the build.  Donation
+# lets XLA reuse the input buffers for pass-through outputs and scatter
+# the adjacency in place.  ONLY safe when no one else references the
+# store: the initial build loop before the index is ever returned, and
+# only on waves with no live adjacency snapshot (the snapshot aliases the
+# donated buffer on the wave it is taken).  add()-time waves must NOT
+# donate — concurrent readers hold the previous arrays snapshot.
+_wave_step_donated_jit = functools.partial(
+    jax.jit, static_argnames=_WAVE_STEP_STATICS, donate_argnums=(0,)
+)(_wave_step)
+
+
 _I32_MAX = jnp.int32(2**31 - 1)
 
 
@@ -897,12 +921,22 @@ def _prune_rows_batch(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("use_codes", "code_bits", "distance_type", "alphas",
-                     "num_neighbors", "labeled", "trunc_dims"),
-)
+_PRUNE_ROWS_STATICS = ("use_codes", "code_bits", "distance_type", "alphas",
+                       "num_neighbors", "labeled", "trunc_dims")
+
+
+@functools.partial(jax.jit, static_argnames=_PRUNE_ROWS_STATICS)
 def _prune_rows_batch_jit(*args, **kwargs) -> GraphArrays:
+    return _prune_rows_core(*args, **kwargs)
+
+
+# Donated twin for finalize-during-build (same rationale as
+# _wave_step_donated_jit: at 5M the non-donated adjacency copy alone is
+# 2.6 GB of lane-padded HBM per dispatch).
+@functools.partial(
+    jax.jit, static_argnames=_PRUNE_ROWS_STATICS, donate_argnums=(0,)
+)
+def _prune_rows_batch_donated_jit(*args, **kwargs) -> GraphArrays:
     return _prune_rows_core(*args, **kwargs)
 
 
@@ -1007,10 +1041,15 @@ def _over_rows_device(
     return order, jnp.sum(over, dtype=jnp.int32)
 
 
-def finalize(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
+def finalize(
+    arrays: GraphArrays, ctx: BuildContext, *, donate: bool = False
+) -> GraphArrays:
     """Final prune pass: trim every row with more than num_neighbors
     neighbors down to num_neighbors (finalize_index_build,
-    build.rs:905-960), then repair any orphaned nodes."""
+    build.rs:905-960), then repair any orphaned nodes.
+
+    ``donate=True`` (initial build only — the caller must hold no other
+    reference to ``arrays``) donates the store into each prune batch."""
     config = ctx.config
     order, count = _over_rows_device(
         arrays, num_neighbors=config.num_neighbors
@@ -1018,6 +1057,7 @@ def finalize(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
     n_over = int(count)  # the only host transfer: one scalar
     if ctx.stats is not None:
         ctx.stats.num_prunes += n_over
+    step = _prune_rows_batch_donated_jit if donate else _prune_rows_batch_jit
     for i in range(0, n_over, PRUNE_BATCH):
         chunk = order[i : i + PRUNE_BATCH]  # static slice, stays on device
         batch = jnp.where(chunk == _I32_MAX, INVALID_ID, chunk)
@@ -1028,7 +1068,7 @@ def finalize(arrays: GraphArrays, ctx: BuildContext) -> GraphArrays:
                 constant_values=INVALID_ID,
             )
         inc = jnp.full((PRUNE_BATCH, 1), INVALID_ID, dtype=jnp.int32)
-        arrays = _prune_rows_batch_jit(
+        arrays = step(
             arrays,
             batch,
             inc,

@@ -577,20 +577,24 @@ class DiskannIndex(DurableIndexMixin):
                 initial_wave=initial_wave,
                 max_wave=max_wave,
                 progress_callback=progress_callback,
+                # No one else references the store before build() returns,
+                # so waves may donate it (halves peak HBM — required at 5M+).
+                donate=True,
             )
             write_stats.insert_s = _time.perf_counter() - t_ins
             start_host = index._default_start_host  # pinned by the insert
             if progress_callback:
                 progress_callback("finalizing graph", 0, n)
             t_fin = _time.perf_counter()
-            index.arrays = finalize(index.arrays, index._ctx)
+            index.arrays = finalize(index.arrays, index._ctx, donate=True)
             # Optional refinement: re-insert every node against the
             # finished graph (keeping existing neighbors in contention) —
             # the classic second Vamana pass; closes the graph-vs-quantizer
             # recall gap at large N at the cost of ~1 extra build.
             for _ in range(refine_passes):
                 index._refine_pass()
-                index.arrays = finalize(index.arrays, index._ctx)
+                index.arrays = finalize(index.arrays, index._ctx,
+                                        donate=True)
             write_stats.finalize_s = _time.perf_counter() - t_fin
             index._pin_mirrors(n, start_host)
             if progress_callback:
@@ -613,12 +617,18 @@ class DiskannIndex(DurableIndexMixin):
         max_wave: int = 4096,
         progress_callback=None,
         full_graph: bool = False,
+        donate: bool = False,
     ) -> None:
         """Insert already-stored rows into the graph in geometric waves.
 
         ``full_graph``: ids are scattered through the id space (tombstone
         reuse) rather than a contiguous suffix — every wave beam-searches
         the whole graph instead of the id prefix.
+
+        ``donate``: donate the store into each wave step (initial build
+        only — concurrent readers of a live index hold array snapshots
+        that donation would delete).  Skipped on waves that carry a live
+        adjacency snapshot, which aliases the would-be-donated buffer.
         """
         arrays = self.arrays
         pos = 0
@@ -664,6 +674,10 @@ class DiskannIndex(DurableIndexMixin):
                 waves_since_snap = 0
             # Contiguous-id inserts: everything below the wave's first id
             # is already in the graph (prefix semantics).
+            # Donation is only legal when no external alias of the store
+            # survives the call: a live snapshot cache holds the adjacency
+            # buffer, so those waves take the copying step.
+            wave_donate = donate and snap_cache is None
             if full_graph:
                 arrays = insert_wave(
                     arrays,
@@ -672,6 +686,7 @@ class DiskannIndex(DurableIndexMixin):
                     prefix_rows=self.count,
                     snap_adjacency=snap_adj,
                     snap_edge_codes=snap_cache,
+                    donate=wave_donate,
                 )
             else:
                 arrays = insert_wave(
@@ -681,6 +696,7 @@ class DiskannIndex(DurableIndexMixin):
                     n_existing=int(wave[0]),
                     snap_adjacency=snap_adj,
                     snap_edge_codes=snap_cache,
+                    donate=wave_donate,
                 )
             waves_since_snap += 1
             done += take
