@@ -74,10 +74,21 @@ def main():
            "bits": 1, "vector_dtype": "int8",
            "device": str(jax.devices()[0])})
 
+    # Corpus is deterministic in (n, q, seed) and costs ~7-15 min of
+    # single-core matmul at 5M; cache it on disk so a tunnel outage
+    # mid-run doesn't pay generation again on retry.
     t0 = time.perf_counter()
-    vectors, queries = synthetic_corpus("cohere", n, q, seed=42)
-    _status(f"corpus generated in {time.perf_counter() - t0:.0f}s "
-            f"({vectors.nbytes / 1e9:.1f} GB host)")
+    corpus_cache = f"/tmp/scale_corpus_cohere_{n}_{q}_s42.npz"
+    if os.path.exists(corpus_cache):
+        z = np.load(corpus_cache)
+        vectors, queries = z["v"], z["q"]
+        _status(f"corpus loaded from cache in "
+                f"{time.perf_counter() - t0:.0f}s")
+    else:
+        vectors, queries = synthetic_corpus("cohere", n, q, seed=42)
+        np.savez(corpus_cache, v=vectors, q=queries)
+        _status(f"corpus generated in {time.perf_counter() - t0:.0f}s "
+                f"({vectors.nbytes / 1e9:.1f} GB host)")
 
     # ---- exact ground truth, chunked over corpus rows ----
     # Running top-k state [Q, k] merges each chunk's top-k; only one
