@@ -349,6 +349,13 @@ def _sharded_finalize(stacked: GraphArrays, config: IndexConfig) -> GraphArrays:
         trunc_dims=config.dims_to_index,
     )
     vprune = jax.jit(jax.vmap(prune, in_axes=(0, 0, 0)))
+    # Donated twin for iterations past the first: those inputs are
+    # loop-local, so XLA may prune the adjacency in place instead of
+    # holding a per-batch duplicate (the caller still references the
+    # first iteration's input, which must be copied).
+    vprune_donated = jax.jit(
+        jax.vmap(prune, in_axes=(0, 0, 0)), donate_argnums=(0,)
+    )
     p = orders.shape[0]
     for i in range(0, n_over, PRUNE_BATCH):
         chunk = orders[:, i : i + PRUNE_BATCH]
@@ -360,7 +367,8 @@ def _sharded_finalize(stacked: GraphArrays, config: IndexConfig) -> GraphArrays:
                 constant_values=INVALID_ID,
             )
         inc = jnp.full((p, PRUNE_BATCH, 1), INVALID_ID, dtype=jnp.int32)
-        stacked = vprune(stacked, batch, inc)
+        step = vprune if i == 0 else vprune_donated
+        stacked = step(stacked, batch, inc)
     return stacked
 
 
@@ -476,24 +484,23 @@ def _sharded_reuse_ingest(
     return jax.vmap(per_shard, in_axes=(0, 0, 0))(stacked, batch, rows)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "search_list_size",
-        "max_iters",
-        "brute",
-        "slice_rows",
-        "use_codes",
-        "prune_use_codes",
-        "code_bits",
-        "distance_type",
-        "alphas",
-        "num_neighbors",
-        "labeled",
-        "trunc_dims",
-    ),
+_SHARDED_WAVE_STATICS = (
+    "search_list_size",
+    "max_iters",
+    "brute",
+    "slice_rows",
+    "use_codes",
+    "prune_use_codes",
+    "code_bits",
+    "distance_type",
+    "alphas",
+    "num_neighbors",
+    "labeled",
+    "trunc_dims",
 )
-def _sharded_wave_step(
+
+
+def _sharded_wave(
     stacked: GraphArrays,
     wave: jax.Array,  # i32[P, B] per-shard local ids (INVALID padded)
     prefix: jax.Array,  # i32[P] — per-shard searchable-row bound
@@ -520,6 +527,23 @@ def _sharded_wave_step(
         )
 
     return jax.vmap(per_shard, in_axes=(0, 0, 0))(stacked, wave, prefix)
+
+
+# add()-time waves: concurrent readers hold the previous stacked arrays
+# snapshot, so the step must copy.
+_sharded_wave_step = functools.partial(
+    jax.jit, static_argnames=_SHARDED_WAVE_STATICS
+)(_sharded_wave)
+
+# Initial-build twin: nothing else references the stacked store inside
+# build()'s wave loop, so donating it lets XLA scatter each shard's
+# adjacency in place instead of holding a per-wave duplicate — the same
+# peak-HBM halving as graph.build._wave_step_donated_jit, which is what
+# lets a near-capacity per-chip shard (e.g. 6.25M rows of the 50M/8-chip
+# budget) fit during the build.
+_sharded_wave_step_donated = functools.partial(
+    jax.jit, static_argnames=_SHARDED_WAVE_STATICS, donate_argnums=(0,)
+)(_sharded_wave)
 
 
 class ShardedDiskannIndex(DurableIndexMixin):
@@ -848,7 +872,7 @@ class ShardedDiskannIndex(DurableIndexMixin):
             )
             n_real_s = np.clip(real - start_id, 0, take)
             brute = start_id <= BRUTE_CANDIDATE_THRESHOLD
-            index.stacked = _sharded_wave_step(
+            index.stacked = _sharded_wave_step_donated(
                 index.stacked,
                 jnp.asarray(wave),
                 jnp.asarray(start_id + n_real_s, jnp.int32),
