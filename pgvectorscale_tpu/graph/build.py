@@ -33,6 +33,7 @@ from __future__ import annotations
 import functools
 import logging
 import math
+import os
 from typing import Optional
 
 import jax
@@ -1083,11 +1084,14 @@ def finalize(
     return repair_orphans(arrays, ctx)
 
 
-@jax.jit
-def reachable_on_device(arrays: GraphArrays) -> jax.Array:
-    """bool[cap] reachability from the default start node, computed
-    entirely on device: each iteration propagates `seen` across every edge
-    with one scatter-max; converges in graph-diameter iterations."""
+def _reachable_scatter(arrays: GraphArrays) -> jax.Array:
+    """Scatter-max BFS: each iteration propagates `seen` across every edge
+    with one scatter-max; converges in graph-diameter iterations.
+
+    XLA serializes scatters with potentially-colliding indices, so each
+    wave costs O(cap*R) *sequential* updates — fine to ~100k rows, ruinous
+    at 5M (~325M serialized updates per wave).  Large graphs dispatch to
+    ``_reachable_csr`` instead."""
     cap = arrays.capacity
     row = jnp.arange(cap, dtype=jnp.int32)
     in_graph = row < arrays.count
@@ -1112,6 +1116,60 @@ def reachable_on_device(arrays: GraphArrays) -> jax.Array:
     return seen & in_graph
 
 
+def _reachable_csr(arrays: GraphArrays) -> jax.Array:
+    """Pull-BFS over a sorted-by-destination edge list — no scatters.
+
+    Setup (once per call): sort the (dst, src) edge list by dst
+    (fully-parallel on TPU) and binary-search per-node segment offsets.
+    Per wave: one gather of source seen-flags, one cumsum, and two
+    boundary gathers give ``any(seen[in_neighbors(v)])`` for every v at
+    HBM-bandwidth cost.  Replaces the scatter wave whose serialized
+    updates dominated 5M-scale orphan repair (~minutes/wave)."""
+    cap, r = arrays.adjacency.shape
+    row = jnp.arange(cap, dtype=jnp.int32)
+    in_graph = row < arrays.count
+    start = arrays.default_start
+    src = jnp.broadcast_to(row[:, None], (cap, r)).reshape(-1)
+    # Invalid edges and edges from out-of-graph rows bucket at `cap`,
+    # falling off the end of the offset table.
+    dst = jnp.where(
+        (arrays.adjacency >= 0) & in_graph[:, None], arrays.adjacency, cap
+    ).reshape(-1)
+    sdst, ssrc = lax.sort((dst, src), num_keys=1)
+    off = jnp.searchsorted(sdst, jnp.arange(cap + 1, dtype=jnp.int32))
+    seen0 = jnp.zeros((cap,), jnp.bool_).at[jnp.maximum(start, 0)].set(
+        start >= 0
+    )
+
+    def body(state):
+        seen, _ = state
+        active = seen[ssrc]
+        s = jnp.cumsum(active.astype(jnp.int32))
+        s_lo = jnp.where(off[:-1] > 0, s[jnp.maximum(off[:-1] - 1, 0)], 0)
+        s_hi = jnp.where(off[1:] > 0, s[jnp.maximum(off[1:] - 1, 0)], 0)
+        new_seen = (seen | (s_hi > s_lo)) & in_graph
+        return new_seen, jnp.any(new_seen != seen)
+
+    seen, _ = lax.while_loop(lambda s: s[1], body, (seen0, jnp.asarray(True)))
+    return seen & in_graph
+
+
+# Above this many rows the CSR pull-BFS beats the scatter BFS (the scatter
+# serializes; CSR is bandwidth-bound).  Env-overridable for tests and for
+# re-tuning on other TPU generations.
+_CSR_BFS_MIN_CAP = int(os.environ.get("PGVS_TPU_CSR_BFS_MIN_CAP", "300000"))
+
+
+@jax.jit
+def reachable_on_device(arrays: GraphArrays) -> jax.Array:
+    """bool[cap] reachability from the default start node, computed
+    entirely on device (the capacity is static, so the strategy choice
+    costs nothing at runtime)."""
+    if arrays.capacity >= _CSR_BFS_MIN_CAP:
+        return _reachable_csr(arrays)
+    return _reachable_scatter(arrays)
+
+
 def reachable_mask(adj: np.ndarray, start: int, n: int) -> np.ndarray:
     """bool[n]: reachable from `start` by directed BFS over adjacency rows.
 
@@ -1134,64 +1192,95 @@ def reachable_mask(adj: np.ndarray, start: int, n: int) -> np.ndarray:
     return seen
 
 
+# Orphans repaired per chain round (static top_k width).  One round fixes
+# up to this many orphans with zero extra BFS; graphs with more loop.
+_REPAIR_CHAIN_MAX = 4096
+
+
 @jax.jit
 def repair_orphans_device(arrays: GraphArrays) -> GraphArrays:
-    """Device-resident orphan repair: iterated rounds of 'each orphan
-    scatters itself into a reachable row with free slots'.
+    """Device-resident orphan repair: ONE reachability BFS, then chain the
+    orphans off the start node.
 
-    Per round: compute reachability (one scatter-max BFS), pick each
-    orphan's host — its first reachable forward neighbor, falling back to
-    the default start node — and append the reverse edge via the backlink
-    machinery; hosts whose rows are full get the orphan force-written into
-    their last slot (same 'overwrite the farthest edge' policy as the host
-    repair).  Orphan islands attach progressively across rounds.
+    The BFS yields the orphan mask; ``top_k`` captures up to
+    ``_REPAIR_CHAIN_MAX`` orphan ids and the repair writes the chain
+    ``start -> o_0 -> o_1 -> ... -> o_{m-1}`` — one in-edge per orphan.
+    Slot bookkeeping makes this provably non-destructive:
 
-    Replaces the host-side repair's full adjacency download (prohibitive on
-    tunneled TPUs: a 1M-row graph is ~260 MB at ~0.75 MB/s) with on-device
-    scatters; the host/native path remains as a fallback for pathological
-    graphs.
+    - the chain overwrites only the *last* slots of orphan rows.  No path
+      from the start node runs through an orphan (that is what orphan
+      means), so destroying an orphan's out-edge cannot disconnect any
+      reachable node;
+    - the one reachable row touched is the start node's last slot, and its
+      displaced target ``t`` is re-homed as ``o_0 -> t``, preserving every
+      route that used ``start -> t``.
+
+    Hence one round leaves zero of the captured orphans unreachable and
+    creates no new orphans — the iterated attach/force/retry cascade the
+    previous design needed (up to 32 rounds x 2 BFS each, hours at 5M
+    scale) collapses to a single BFS plus O(_REPAIR_CHAIN_MAX) updates.
+    Only graphs with more than _REPAIR_CHAIN_MAX orphans loop, removing
+    exactly _REPAIR_CHAIN_MAX per round from the carried mask (no re-BFS:
+    the proof above guarantees non-captured orphans are the only ones
+    left).
+
+    Replaces the host-side repair's full adjacency download (prohibitive
+    on tunneled TPUs: a 1M-row graph is ~260 MB at ~0.75 MB/s); the
+    host/native path remains as a verification fallback.
     """
     cap, r_max = arrays.adjacency.shape
     row = jnp.arange(cap, dtype=jnp.int32)
     in_graph = (row < arrays.count) & (arrays.default_start >= 0)
     start = jnp.maximum(arrays.default_start, 0)
-
-    def n_orphans(adj):
-        seen = reachable_on_device(arrays._replace(adjacency=adj))
-        return jnp.sum(in_graph & ~seen, dtype=jnp.int32)
+    k = min(cap, _REPAIR_CHAIN_MAX)
 
     def cond(state):
-        _, remaining, rounds = state
-        return (remaining > 0) & (rounds < 32)
+        _, orphan, rounds = state
+        return jnp.any(orphan) & (rounds < 256)
 
     def body(state):
-        adj, _, rounds = state
-        seen = reachable_on_device(arrays._replace(adjacency=adj))
-        orphan = in_graph & ~seen
+        adj, orphan, rounds = state
+        vals, idx = lax.top_k(orphan.astype(jnp.int32), k)
+        valid = vals > 0
+        idx = idx.astype(jnp.int32)
+        any_orphan = valid[0]
+        head = idx[0]
+        t_old = adj[start, r_max - 1]
 
-        # Host = first reachable forward neighbor, else the start node.
-        nbr_ok = (adj != INVALID_ID) & seen[jnp.maximum(adj, 0)]
-        pos = jnp.argmax(nbr_ok, axis=1)
-        has = jnp.any(nbr_ok, axis=1)
-        host = jnp.where(
-            has, adj[row, pos], jnp.broadcast_to(start, (cap,))
+        # Writes, all to distinct (row, slot) pairs:
+        #   (start, R-1) <- head            the chain's entry edge
+        #   (head,  R-2) <- t_old           re-home start's displaced edge
+        #   (o_i,   R-1) <- o_{i+1}         the chain links
+        rows = jnp.concatenate(
+            [start[None], idx[:1], idx[: k - 1]]
         )
-        edge_dst = jnp.where(orphan, host, INVALID_ID)
-        edge_src = jnp.where(orphan, row, INVALID_ID)
-        adj2, accepted = append_backlinks(adj, edge_dst, edge_src)
-
-        # Full host rows: force the orphan into the last slot (conflicting
-        # forces resolve arbitrarily; losers retry next round).
-        force = orphan & ~accepted & (edge_dst != INVALID_ID)
-        w_dst = jnp.where(force, edge_dst, cap)
-        adj2 = adj2.at[w_dst, r_max - 1].set(
-            jnp.where(force, edge_src, INVALID_ID), mode="drop"
+        slots = jnp.concatenate(
+            [
+                jnp.asarray([r_max - 1, r_max - 2], jnp.int32),
+                jnp.full((k - 1,), r_max - 1, jnp.int32),
+            ]
         )
-        return adj2, n_orphans(adj2), rounds + 1
+        new_vals = jnp.concatenate([head[None], t_old[None], idx[1:]])
+        mask = jnp.concatenate(
+            [
+                any_orphan[None],
+                (any_orphan & (t_old != INVALID_ID))[None],
+                valid[1:],
+            ]
+        )
+        adj2 = adj.at[jnp.where(mask, rows, cap), slots].set(
+            jnp.where(mask, new_vals, INVALID_ID), mode="drop"
+        )
+        orphan2 = orphan.at[jnp.where(valid, idx, cap)].set(
+            False, mode="drop"
+        )
+        return adj2, orphan2, rounds + 1
 
-    adj0 = arrays.adjacency
-    state = (adj0, n_orphans(adj0), jnp.zeros((), jnp.int32))
-    adj, _, _ = lax.while_loop(cond, body, state)
+    seen = reachable_on_device(arrays)
+    orphan0 = in_graph & ~seen
+    adj, _, _ = lax.while_loop(
+        cond, body, (arrays.adjacency, orphan0, jnp.zeros((), jnp.int32))
+    )
     return arrays._replace(adjacency=adj)
 
 

@@ -931,10 +931,10 @@ class DiskannIndex(DurableIndexMixin):
         # Hot path: one-dispatch device repair, NO host readback (the
         # pulled orphan-count check alone cost ~1.2 s/add over the
         # tunneled link).  A clean graph costs one on-device BFS; orphans
-        # get the same iterated attach the verified path runs.  Every K
-        # adds the verified path re-checks with a real pull and falls back
-        # to the host/native repair if the 32-round device loop ever left
-        # an island (never observed; reachability is test-enforced).
+        # get the provably-complete chain repair in the same dispatch.
+        # Every K adds the verified path re-checks with a real pull and
+        # falls back to the host/native repair if the device chain ever
+        # left an island (never observed; reachability is test-enforced).
         start_host = self._default_start_host  # mirror still pinned here
         self.arrays = repair_orphans_device_jit(self.arrays)
         self._adds_since_repair_check += 1
