@@ -22,11 +22,17 @@ Env:  SCALE_N (rows, default 5_000_000), SCALE_Q (queries, default 1024),
 from __future__ import annotations
 
 import json
+import logging
 import os
 import sys
 import time
 
 import numpy as np
+
+logging.basicConfig(
+    format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    level=logging.INFO,
+)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
@@ -43,7 +49,8 @@ def _emit(obj):
 
 
 def _status(msg):
-    print(f"[scale] {msg}", file=sys.stderr, flush=True)
+    stamp = time.strftime("%H:%M:%S")
+    print(f"[scale {stamp}] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
