@@ -519,16 +519,6 @@ class DiskannIndex(DurableIndexMixin):
                 config=config,
                 train=sbq_stats is None and config.uses_sbq,
             )
-            if config.has_labels and labels is not None:
-                label_arr = make_label_array(
-                    list(labels), config.max_labels_per_vector
-                )
-                arrays = arrays._replace(
-                    node_labels=arrays.node_labels.at[:n].set(
-                        jnp.asarray(label_arr)
-                    )
-                )
-                arrays = _register_label_starts_host(arrays, label_arr, 0)
         else:
             arrays = store.empty_arrays(config, capacity)
             stats = (
@@ -536,6 +526,22 @@ class DiskannIndex(DurableIndexMixin):
                 if sbq_stats is not None
                 else _empty_stats(config.dims_to_index)
             )
+
+        # Labels apply to BOTH ingest paths.  (Round-5 regression: this
+        # block used to live inside the one-shot _ingest_jit branch only,
+        # so >1 GB corpora — which take _ingest_chunked — silently dropped
+        # node_labels AND label start-node registration, zeroing filtered
+        # recall at 1M x 768d.)
+        if n > 0 and config.has_labels and labels is not None:
+            label_arr = make_label_array(
+                list(labels), config.max_labels_per_vector
+            )
+            arrays = arrays._replace(
+                node_labels=arrays.node_labels.at[:n].set(
+                    jnp.asarray(label_arr)
+                )
+            )
+            arrays = _register_label_starts_host(arrays, label_arr, 0)
 
         if external_ids is None:
             external_ids = np.arange(n, dtype=np.int64)

@@ -663,3 +663,49 @@ def test_chunked_ingest_matches_oneshot(rng, monkeypatch):
     params = QueryParams(search_list_size=48, rescore=64)
     ids, _ = chunked.search(vectors[:16], k=1, params=params)
     assert [int(i) for i in np.asarray(ids)[:, 0]] == list(range(16))
+
+
+def test_chunked_ingest_keeps_labels(rng, monkeypatch):
+    """Round-5 regression: the chunked-ingest branch dropped node_labels
+    and label start-node registration entirely (the label block lived only
+    in the one-shot branch), so every label-filtered search on a >1 GB
+    build returned nothing — 0.0 recall at 1M x 768d on TPU.  Force the
+    chunked path at small N and pin filtered behavior to the one-shot
+    build's."""
+    import pgvectorscale_tpu.index as index_mod
+
+    n, d, n_labels = 2000, 32, 8
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    labels = [[int(i % n_labels)] for i in range(n)]
+    config = IndexConfig(
+        num_dimensions=d,
+        distance_type=DistanceType.COSINE,
+        num_neighbors=16,
+        search_list_size=32,
+        max_labels_per_vector=1,
+    )
+    one = DiskannIndex.build(vectors, config, labels=labels)
+    monkeypatch.setattr(index_mod, "INGEST_CHUNK_BYTES", 64 * 1024)
+    chunked = DiskannIndex.build(vectors, config, labels=labels)
+
+    np.testing.assert_array_equal(
+        np.asarray(chunked.arrays.node_labels[:n]),
+        np.asarray(one.arrays.node_labels[:n]),
+    )
+    # Label start nodes registered for every label.
+    np.testing.assert_array_equal(
+        np.asarray(chunked.arrays.label_start_keys),
+        np.asarray(one.arrays.label_start_keys),
+    )
+    params = QueryParams(search_list_size=48, rescore=64)
+    q = vectors[:16]
+    qlabels = [labels[i] for i in range(16)]
+    ids, _ = chunked.search(q, k=5, params=params, query_labels=qlabels)
+    ids = np.asarray(ids)
+    # Every returned id must carry the queried label, and the query's own
+    # row (exact match, same label) must be found.
+    for r in range(16):
+        assert int(ids[r, 0]) == r
+        for i in ids[r]:
+            if int(i) >= 0:
+                assert labels[int(i)] == qlabels[r]
