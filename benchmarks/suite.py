@@ -281,7 +281,8 @@ def run_glove(n, q):
         params = QueryParams(search_list_size=L, rescore=resc, expand=e,
                              window_strategy=strat, visit_factor=vf)
         ids, qps, spread = _timed_search(index, queries, k, params)
-        _emit({"L": L, "rescore": resc, "expand": e, "strategy": strat,
+        _emit({"bits": bits, "L": L, "rescore": resc, "expand": e,
+               "strategy": strat,
                "visit_factor": vf, "qps": round(qps, 1),
                "recall": round(_recall(gt, ids), 4), **spread})
 
@@ -390,6 +391,7 @@ def run_filtered(n, q):
                 index, queries, k, params, query_labels=qlabels
             )
             _emit({"config": f"filtered-{n_query_labels}label",
+                   "bits": bits,
                    "L": params.search_list_size, "rescore": params.rescore,
                    "strategy": params.window_strategy,
                    "visit_factor": params.visit_factor,
