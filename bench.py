@@ -355,6 +355,7 @@ def main():
     # ride along with explicit provenance instead of being re-measured.
     _attach_scale_artifact()
     _attach_scale5m_artifact()
+    _attach_filtered_artifact()
     _print_summary()
 
 
@@ -400,6 +401,45 @@ def _attach_scale_artifact():
         art["qps_at_recall_0.9_1m"] = best9["qps"]
         art["recall_at_0.9_point_1m"] = best9["recall"]
     _summary["artifact_1m"] = art
+
+
+def _attach_filtered_artifact():
+    """Ride the label-filtered 1M receipt (benchmarks/suite.py filtered ->
+    results/filtered.jsonl) along in the driver JSON: the best recall point
+    per label count, against the reference's own >=0.9 filtered gate
+    (labels/filtering_tests.rs:1005-1019)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results",
+        "filtered.jsonl",
+    )
+    if not os.path.exists(path):
+        return
+    best = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            cfg = obj.get("config", "")
+            if not (cfg.startswith("filtered-") and "recall" in obj):
+                continue
+            if cfg not in best or obj["recall"] > best[cfg]["recall"]:
+                best[cfg] = obj
+    if not best:
+        return
+    art = {"source": "results/filtered.jsonl (benchmarks/suite.py,"
+                     " same chip)"}
+    for cfg, row in sorted(best.items()):
+        art[cfg] = {
+            k: row[k] for k in ("bits", "L", "rescore", "strategy",
+                                "visit_factor", "qps", "recall")
+            if k in row
+        }
+    _summary["artifact_filtered_1m"] = art
 
 
 def _attach_scale5m_artifact():
